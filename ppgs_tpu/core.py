@@ -1,0 +1,246 @@
+"""Inference API (reference: ppgs/core.py:22-391,551-621).
+
+from_audio -> from_features -> infer chain with model caching. TPU-first
+details:
+- All device compute is jit-compiled once per (config, padded shape); the
+  time dimension is bucketed (rounded up to the chunk stride) so arbitrary
+  audio lengths reuse a handful of compiled programs instead of recompiling.
+- Long inputs use models.transformer.chunked_forward, which folds 500-frame
+  overlap windows into the batch dimension (one MXU-dense forward).
+- File batch inference streams device->host copies to a thread pool with
+  backpressure (replacing the reference's multiprocessing spawn pools).
+"""
+
+import concurrent.futures
+import functools
+import math
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as config_mod
+from . import load as load_mod
+from . import preprocess
+from .models import transformer as transformer_model
+from .models import convolution as convolution_model
+
+
+###############################################################################
+# Model cache + jitted forwards
+###############################################################################
+
+
+_MODEL_CACHE: Dict[str, tuple] = {}
+
+
+def _get_model(representation, checkpoint, config):
+    key = (representation, str(checkpoint), config)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = load_mod.model(
+            checkpoint=checkpoint, representation=representation,
+            config=config)
+    return _MODEL_CACHE[key]
+
+
+@functools.partial(jax.jit, static_argnames=('config', 'softmax', 'chunked'))
+def _forward_jit(params, features, lengths, phys_lengths, config, softmax,
+                 chunked):
+    if config.model == 'convolution':
+        logits = convolution_model.forward(params, features, lengths, config)
+    elif chunked:
+        logits = transformer_model.chunked_forward(
+            params, features, lengths, config, true_frames=phys_lengths)
+    else:
+        phys = jnp.full(lengths.shape, phys_lengths, lengths.dtype)
+        logits = transformer_model.forward(
+            params, features, lengths, config, phys_lengths=phys)
+    if softmax:
+        return jax.nn.softmax(logits, axis=1)
+    return logits
+
+
+def _bucket_frames(t, stride):
+    """Round T up to a multiple of the chunk stride (min one stride)."""
+    return max(stride, int(math.ceil(t / stride)) * stride)
+
+
+def infer(
+    features,
+    lengths,
+    representation: str = 'mel',
+    checkpoint=None,
+    softmax: bool = True,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Model inference on (B, C, T) features (reference ppgs/core.py:551-598).
+
+    Returns (B, num_phonemes, T) posteriorgrams (or logits if softmax=False).
+    """
+    base_config = config_mod.get(config)
+    if base_config.representation_kind == 'latents':
+        return features
+
+    params, config = _get_model(representation, checkpoint, base_config)
+
+    features = jnp.asarray(features)
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    B, C, T = features.shape
+
+    stride = config.chunk_length - 2 * config.chunk_overlap
+    chunked = (not legacy_mode) and T > config.chunk_length
+
+    # Pad time to a bucket boundary for compile reuse; the true length T is
+    # passed through (traced) so truncation-boundary parity is preserved
+    padded_t = T if legacy_mode else _bucket_frames(T, stride)
+    if padded_t > T:
+        features = jnp.pad(features, ((0, 0), (0, 0), (0, padded_t - T)))
+
+    out = _forward_jit(params, features, lengths,
+                       jnp.asarray(T, jnp.int32), config, softmax, chunked)
+    return out[..., :T]
+
+
+###############################################################################
+# API
+###############################################################################
+
+
+def from_audio(
+    audio,
+    sample_rate: Union[int, float] = None,
+    representation: str = None,
+    checkpoint=None,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Infer PPGs from batched audio (B, 1, S) -> (B, P, frames)."""
+    config = config_mod.get(config)
+    representation = representation or config.representation
+    sample_rate = sample_rate or config.sample_rate
+
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 2:
+        audio = audio[None]
+    if sample_rate != config.sample_rate:
+        from .data import audio as audio_io
+
+        audio = audio_io.resample(audio, sample_rate, config.sample_rate)
+
+    features = preprocess.get(representation).from_audios(
+        jnp.asarray(audio), np.array([audio.shape[-1]]), config=config)
+    lengths = np.array([features.shape[-1]], dtype=np.int64)
+    return from_features(
+        features, lengths, representation=representation,
+        checkpoint=checkpoint, legacy_mode=legacy_mode, config=config)
+
+
+def from_features(
+    features,
+    lengths,
+    representation: str = None,
+    checkpoint=None,
+    softmax: bool = True,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Infer PPGs from input features (B, C, T)."""
+    config = config_mod.get(config)
+    representation = representation or config.representation
+    return infer(
+        features=features,
+        lengths=lengths,
+        representation=representation,
+        checkpoint=checkpoint,
+        softmax=softmax,
+        legacy_mode=legacy_mode,
+        config=config)
+
+
+def from_file(
+    file,
+    representation: str = None,
+    checkpoint=None,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Infer PPGs from an audio file -> (P, frames)."""
+    audio = load_mod.audio(file)
+    return from_audio(
+        audio[None], representation=representation, checkpoint=checkpoint,
+        legacy_mode=legacy_mode, config=config)[0]
+
+
+def from_file_to_file(
+    audio_file,
+    output_file,
+    representation: str = None,
+    checkpoint=None,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Infer PPGs from an audio file and save as .npy."""
+    result = from_file(audio_file, representation, checkpoint, legacy_mode,
+                       config)
+    np.save(output_file, np.asarray(result))
+
+
+def from_files_to_files(
+    audio_files: List,
+    output_files: List,
+    representation: str = None,
+    checkpoint=None,
+    num_workers: int = 0,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Batched file-to-file inference with async saving."""
+    config = config_mod.get(config)
+    representation = representation or config.representation
+
+    if num_workers == 0:
+        for audio_file, output_file in zip(audio_files, output_files):
+            from_file_to_file(audio_file, output_file, representation,
+                              checkpoint, legacy_mode, config)
+        return
+
+    save_pool = concurrent.futures.ThreadPoolExecutor(
+        max(1, num_workers // 2))
+    pending = []
+    try:
+        for audio_file, output_file in zip(audio_files, output_files):
+            result = from_file(audio_file, representation, checkpoint,
+                               legacy_mode, config)
+            host = jax.device_get(result)
+            pending.append(save_pool.submit(np.save, output_file, host))
+            # Backpressure (reference: queue > 100)
+            while len(pending) > 100:
+                pending = [f for f in pending if not f.done()]
+        for f in pending:
+            f.result()
+    finally:
+        save_pool.shutdown(wait=True)
+
+
+def resample(audio, sample_rate, target_rate=None):
+    """Audio resampling (reference ppgs/core.py:600-609)."""
+    from .data import audio as audio_io
+
+    target_rate = target_rate or config_mod.default().sample_rate
+    return audio_io.resample(np.asarray(audio), sample_rate, target_rate)
+
+
+def representation_file_extension(config=None):
+    """Cache filename suffix for the active representation
+    (reference ppgs/core.py:612-621), with .npy instead of .pt."""
+    config = config_mod.get(config)
+    if (config.representation == config.best_representation
+            and config.representation_kind == 'ppg'):
+        return '-ppg.npy'
+    if config.representation_kind == 'ppg':
+        return f'-{config.representation}-ppg.npy'
+    return f'-{config.representation}.npy'

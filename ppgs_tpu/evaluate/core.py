@@ -1,0 +1,60 @@
+"""Objective evaluation over test partitions
+(reference: ppgs/evaluate/core.py:16-107).
+
+Runs test loaders through the inference stack (softmax=False) and
+accumulates per-dataset + aggregate metrics; saves JSON results and figures
+under EVAL_DIR/<config>/.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .. import config as config_mod
+from .metrics import Metrics
+
+
+def datasets(names=None, checkpoint=None, config=None, max_batches=None):
+    """Evaluate on datasets' test partitions; returns the results dict."""
+    from .. import from_features
+    from ..data import loader as data_loader
+
+    config = config_mod.get(config)
+    names = names or list(config.datasets)
+
+    aggregate = Metrics(config=config)
+    results = {}
+    eval_dir = config_mod.EVAL_DIR / config.config
+    eval_dir.mkdir(parents=True, exist_ok=True)
+
+    for name in names:
+        metrics = Metrics(config=config)
+        ldr = data_loader(
+            name, 'test',
+            features=[config.representation, 'phonemes', 'length'],
+            config=config)
+        for i, batch in enumerate(ldr):
+            features, indices, lengths = batch[:3]
+            logits = from_features(
+                features, lengths, checkpoint=checkpoint, softmax=False,
+                config=config)
+            metrics.update(logits, indices)
+            aggregate.update(logits, indices)
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+        results[name] = {
+            k: v for k, v in metrics().items()
+            if isinstance(v, (int, float))}
+        save(results[name], eval_dir / f'{name}.json')
+
+    results['aggregate'] = {
+        k: v for k, v in aggregate().items()
+        if isinstance(v, (int, float))}
+    save(results['aggregate'], eval_dir / 'overall.json')
+    return results
+
+
+def save(scalars, path):
+    with open(path, 'w') as file:
+        json.dump(scalars, file, indent=2, sort_keys=True)

@@ -1,0 +1,349 @@
+"""Frame-wise Transformer PPG encoder.
+
+TPU-first re-design of the reference model (ppgs/model/transformer.py:13-114):
+
+- Pure functions over a parameter pytree: ``init(rng, config)`` and
+  ``forward(params, features, lengths, ...)``. No module state.
+- Internal layout is feature-last (B, T, C) so every matmul tiles cleanly on
+  the MXU; the public API keeps the reference's (B, C, T) at the boundary.
+- Post-LN encoder blocks with semantics matching
+  ``torch.nn.TransformerEncoderLayer`` (post-norm, ReLU FFN 2048, packed-QKV
+  attention) exactly, so published reference checkpoints convert losslessly.
+- Long inputs: the reference recursively loops 500-frame windows with
+  50-frame overlap on one stream. Here chunking is a *reshape*: windows are
+  folded into the batch dimension and processed in ONE forward pass —
+  sequence-length parallelism becomes batch parallelism, which is the
+  sharding-friendly formulation (batch shards over the mesh 'data' axis).
+"""
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.masking import mask_from_lengths
+
+
+###############################################################################
+# Parameter initialization
+###############################################################################
+
+
+def _xavier_uniform(rng, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
+def _conv_init(rng, k, c_in, c_out, dtype=jnp.float32):
+    """Kaiming-uniform conv init (torch Conv1d default), layout (K, I, O)."""
+    rng_w, rng_b = jax.random.split(rng)
+    fan_in = c_in * k
+    bound = 1.0 / math.sqrt(fan_in)
+    weight = jax.random.uniform(rng_w, (k, c_in, c_out), dtype, -bound, bound)
+    bias = jax.random.uniform(rng_b, (c_out,), dtype, -bound, bound)
+    return {'weight': weight, 'bias': bias}
+
+
+def init(rng, config: Config):
+    """Initialize the parameter pytree."""
+    d = config.hidden_channels
+    ffn = config.ffn_channels
+    k = config.kernel_size
+    keys = jax.random.split(rng, 2 + config.num_hidden_layers)
+
+    params = {
+        'input_conv': _conv_init(keys[0], k, config.input_channels, d),
+        'output_conv': _conv_init(keys[1], k, d, config.output_channels),
+        'layers': [],
+    }
+    for i in range(config.num_hidden_layers):
+        lk = jax.random.split(keys[2 + i], 6)
+        layer = {
+            'attn': {
+                # x @ W orientation, each (d, d)
+                'wq': _xavier_uniform(lk[0], (d, d)),
+                'wk': _xavier_uniform(lk[1], (d, d)),
+                'wv': _xavier_uniform(lk[2], (d, d)),
+                'wo': _xavier_uniform(lk[3], (d, d)),
+                'bq': jnp.zeros((d,)),
+                'bk': jnp.zeros((d,)),
+                'bv': jnp.zeros((d,)),
+                'bo': jnp.zeros((d,)),
+            },
+            'norm1': {'scale': jnp.ones((d,)), 'bias': jnp.zeros((d,))},
+            'norm2': {'scale': jnp.ones((d,)), 'bias': jnp.zeros((d,))},
+            'ffn': {
+                'w1': _xavier_uniform(lk[4], (d, ffn)),
+                'b1': jnp.zeros((ffn,)),
+                'w2': _xavier_uniform(lk[5], (ffn, d)),
+                'b2': jnp.zeros((d,)),
+            },
+        }
+        params['layers'].append(layer)
+    return params
+
+
+###############################################################################
+# Building blocks
+###############################################################################
+
+
+@functools.lru_cache(maxsize=8)
+def positional_encoding(max_len: int, channels: int):
+    """Sinusoidal table (max_len, channels); reference transformer.py:92-102."""
+    index = np.arange(max_len, dtype=np.float64)[:, None]
+    frequency = np.exp(
+        np.arange(0, channels, 2, dtype=np.float64)
+        * (-math.log(10000.0) / channels))
+    table = np.zeros((max_len, channels), dtype=np.float64)
+    table[:, 0::2] = np.sin(index * frequency)
+    table[:, 1::2] = np.cos(index * frequency)
+    # numpy (not jnp): safe to cache across jit traces
+    return table.astype(np.float32)
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale + bias
+
+
+def conv1d_same(x, weight, bias, precision=None):
+    """'same'-padded 1D conv in (B, T, C) layout; weight (K, I, O)."""
+    k = weight.shape[0]
+    pad = ((k - 1) // 2, k // 2)
+    out = jax.lax.conv_general_dilated(
+        x, weight,
+        window_strides=(1,),
+        padding=(pad,),
+        dimension_numbers=('NHC', 'HIO', 'NHC'),
+        precision=precision)
+    return out + bias
+
+
+def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
+               compute_dtype, precision):
+    """Packed multi-head self-attention on (B, T, C).
+
+    key_mask: (B, T) bool, True = valid key. Fully-masked query rows produce
+    zeros (safe softmax) instead of the reference's NaNs — those frames are
+    zeroed by the output mask anyway.
+    """
+    B, T, C = x.shape
+    d_head = C // heads
+    xc = x.astype(compute_dtype)
+
+    q = (xc @ p['wq'].astype(compute_dtype)) + p['bq'].astype(compute_dtype)
+    k = (xc @ p['wk'].astype(compute_dtype)) + p['bk'].astype(compute_dtype)
+    v = (xc @ p['wv'].astype(compute_dtype)) + p['bv'].astype(compute_dtype)
+
+    q = q.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(d_head)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        precision=precision).astype(jnp.float32) * scale
+
+    mask = key_mask[:, None, None, :]            # (B, 1, 1, T)
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+        mask = mask & causal_mask[None, None]
+    logits = jnp.where(mask, logits, -jnp.inf)
+
+    # Safe softmax: all-masked rows yield zeros
+    logits_max = jnp.max(logits, axis=-1, keepdims=True)
+    logits_max = jnp.where(jnp.isfinite(logits_max), logits_max, 0.0)
+    unnorm = jnp.exp(logits - logits_max)
+    unnorm = jnp.where(mask, unnorm, 0.0)
+    denom = unnorm.sum(axis=-1, keepdims=True)
+    attn = unnorm / jnp.maximum(denom, 1e-30)
+
+    if dropout_rng is not None and dropout > 0:
+        keep = jax.random.bernoulli(dropout_rng, 1 - dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1 - dropout), 0.0)
+
+    out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(compute_dtype), v,
+                     precision=precision)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+    out = (out @ p['wo'].astype(compute_dtype)) + p['bo'].astype(compute_dtype)
+    return out.astype(x.dtype)
+
+
+def _dropout(x, rng, rate):
+    if rng is None or rate <= 0:
+        return x
+    keep = jax.random.bernoulli(rng, 1 - rate, x.shape)
+    return jnp.where(keep, x / (1 - rate), 0.0)
+
+
+def _encoder_layer(x, layer, key_mask, causal, heads, rngs, dropout,
+                   compute_dtype, precision):
+    """Post-LN block: x = LN(x + SA(x)); x = LN(x + FFN(x))."""
+    sa = _attention(x, layer['attn'], key_mask, causal, heads,
+                    rngs[0], dropout, compute_dtype, precision)
+    sa = _dropout(sa, rngs[1], dropout)
+    x = _layer_norm(x + sa, layer['norm1']['scale'], layer['norm1']['bias'])
+
+    xc = x.astype(compute_dtype)
+    h = jax.nn.relu(
+        xc @ layer['ffn']['w1'].astype(compute_dtype)
+        + layer['ffn']['b1'].astype(compute_dtype))
+    h = _dropout(h, rngs[2], dropout)
+    h = (h @ layer['ffn']['w2'].astype(compute_dtype)
+         + layer['ffn']['b2'].astype(compute_dtype)).astype(x.dtype)
+    h = _dropout(h, rngs[3], dropout)
+    x = _layer_norm(x + h, layer['norm2']['scale'], layer['norm2']['bias'])
+    return x
+
+
+###############################################################################
+# Forward pass (single window, static shape)
+###############################################################################
+
+
+def forward(
+    params,
+    features: jax.Array,
+    lengths: jax.Array,
+    config: Config,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    precision=None,
+    phys_lengths=None,
+):
+    """Core forward on (B, C, T) features -> (B, output_channels, T) logits.
+
+    No chunking here: T must be <= config.max_len. Use ``chunked_forward``
+    for long inputs.
+
+    ``phys_lengths`` (per-element physical sequence length) reproduces the
+    reference's tensor-truncation semantics under static shapes: positions
+    beyond it are zeroed before the output conv, exactly as if the tensor
+    physically ended there (zero 'same'-conv padding). Padded-but-existing
+    positions (>= lengths, < phys_lengths) intentionally leak into the output
+    conv, matching the reference bit-for-bit.
+    """
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    B, _, T = features.shape
+
+    param_dtype = params['input_conv']['weight'].dtype
+    x = features.astype(param_dtype).transpose(0, 2, 1)     # (B, T, C_in)
+    mask = mask_from_lengths(lengths, T)                    # (B, T)
+
+    # Input conv + mask
+    x = conv1d_same(x, params['input_conv']['weight'],
+                    params['input_conv']['bias'], precision)
+    x = x * mask[..., None]
+
+    # Positional encoding (+ dropout at train time)
+    pe = positional_encoding(config.max_len, config.hidden_channels)[:T]
+    x = x + pe[None]
+    n_rngs = 1 + 4 * config.num_hidden_layers
+    if train and rng is not None and config.dropout > 0:
+        rngs = list(jax.random.split(rng, n_rngs))
+    else:
+        rngs = [None] * n_rngs
+    x = _dropout(x, rngs[0], config.dropout if train else 0.0)
+
+    # Encoder stack
+    for i, layer in enumerate(params['layers']):
+        layer_rngs = rngs[1 + 4 * i: 1 + 4 * (i + 1)]
+        x = _encoder_layer(
+            x, layer, mask, config.is_causal, config.attention_heads,
+            layer_rngs, config.dropout if train else 0.0,
+            compute_dtype, precision)
+
+    # Physical truncation mask (see docstring)
+    if phys_lengths is not None:
+        phys_mask = mask_from_lengths(
+            jnp.asarray(phys_lengths, lengths.dtype), T)
+        x = x * phys_mask[..., None]
+
+    # Output conv + mask
+    x = conv1d_same(x, params['output_conv']['weight'],
+                    params['output_conv']['bias'], precision)
+    x = x * mask[..., None]
+    return x.transpose(0, 2, 1)                             # (B, C_out, T)
+
+
+###############################################################################
+# Chunked forward for long inputs
+###############################################################################
+
+
+def chunk_layout(total_frames: int, chunk_length: int, overlap: int):
+    """Static chunking geometry for the reference overlap-trim scheme."""
+    stride = chunk_length - 2 * overlap
+    num_blocks = max(1, math.ceil(total_frames / stride))
+    return stride, num_blocks
+
+
+def chunked_forward(
+    params,
+    features: jax.Array,
+    lengths: jax.Array,
+    config: Config,
+    precision=None,
+    true_frames=None,
+):
+    """Reference-equivalent chunked inference (transformer.py:49-64), batched.
+
+    Windows of ``chunk_length`` frames with ``overlap`` halo on each side are
+    gathered from the (replicate-left, zero-right padded) input and folded
+    into the batch dimension -> one forward pass -> inner frames concatenated
+    and trimmed to T.
+
+    ``true_frames`` (traced scalar, default T) is the un-padded sequence
+    length: callers that right-pad T for compile-cache reuse pass the true
+    length so the reference's physical-truncation boundary is reproduced
+    exactly (the last window ends at true_frames + overlap).
+    """
+    B, C, T = features.shape
+    overlap = config.chunk_overlap
+    chunk_len = config.chunk_length
+    if T <= chunk_len:
+        return forward(params, features, lengths, config, precision=precision)
+
+    stride, num_blocks = chunk_layout(T, chunk_len, overlap)
+
+    # Replicate-pad left by overlap, zero-pad right to the final window edge
+    right = (num_blocks - 1) * stride + chunk_len - (T + overlap)
+    padded = jnp.pad(features, ((0, 0), (0, 0), (overlap, 0)), mode='edge')
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, right)))
+
+    # Gather all windows: (B, C, num_blocks, chunk_len)
+    starts = jnp.arange(num_blocks) * stride
+    idx = starts[:, None] + jnp.arange(chunk_len)[None, :]
+    windows = padded[:, :, idx]                       # (B, C, nb, chunk_len)
+    windows = windows.transpose(0, 2, 1, 3).reshape(
+        B * num_blocks, C, chunk_len)
+
+    # Per-window lengths: clamp(lengths - i*stride + overlap, 0, chunk_len),
+    # zeroed when the remaining span is only the halo (reference :58-59)
+    block_ids = jnp.arange(num_blocks)
+    remaining = lengths[:, None] - block_ids[None, :] * stride   # (B, nb)
+    chunk_lengths = jnp.clip(remaining + overlap, 0, chunk_len)
+    chunk_lengths = jnp.where(chunk_lengths == overlap, 0, chunk_lengths)
+    chunk_lengths = chunk_lengths.reshape(B * num_blocks)
+
+    # Physical window length (the reference's truncated tensor size):
+    # min(chunk_len, true_T + overlap - i*stride), identical across the batch
+    if true_frames is None:
+        true_frames = T
+    phys = jnp.clip(true_frames + overlap - block_ids * stride, 0, chunk_len)
+    phys = jnp.broadcast_to(phys[None, :], (B, num_blocks)).reshape(-1)
+
+    logits = forward(params, windows, chunk_lengths, config,
+                     precision=precision, phys_lengths=phys)
+    logits = logits.reshape(B, num_blocks, -1, chunk_len)
+    inner = logits[..., overlap:chunk_len - overlap]  # (B, nb, C_out, stride)
+    out = inner.transpose(0, 2, 1, 3).reshape(B, -1, num_blocks * stride)
+    # The reference's truncated final slice yields exactly T output frames
+    return out[..., :T]

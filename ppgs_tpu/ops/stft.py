@@ -1,0 +1,109 @@
+"""STFT and log-mel spectrogram as MXU matmuls.
+
+TPU-first design: instead of an FFT butterfly (scalar-heavy, poorly tiled on
+TPU), framing + Hann windowing + real DFT are fused into ONE strided
+convolution whose filters are the windowed DFT basis. XLA lowers this to an
+implicit GEMM on the 128x128 systolic array, and the following magnitude and
+mel projection fuse behind it. Numerically identical (fp32) to
+``torch.stft(center=False)`` + magnitude + mel matmul as used by the reference
+(ppgs/preprocess/spectrogram.py:14-74, ppgs/preprocess/mel.py:14-76).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filterbank
+
+
+###############################################################################
+# DFT basis construction (host-side, cached)
+###############################################################################
+
+
+@functools.lru_cache(maxsize=4)
+def dft_basis(num_fft: int, window_size: int):
+    """Windowed real-DFT filters, shape (2 * n_freqs, num_fft).
+
+    Rows [0, n_freqs) are cos terms (real part), rows [n_freqs, 2*n_freqs)
+    are -sin terms (imag part), each pre-multiplied by the Hann window.
+    """
+    n_freqs = num_fft // 2 + 1
+    n = np.arange(num_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    angle = 2.0 * np.pi * np.outer(k, n) / num_fft
+    window = filterbank.hann_window(window_size, dtype=np.float64)
+    basis = np.concatenate([np.cos(angle), -np.sin(angle)], axis=0) * window
+    # numpy (not jnp): safe to cache across jit traces
+    return basis.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def mel_basis(sample_rate: int, num_fft: int, num_mels: int):
+    return filterbank.mel_filterbank(sample_rate, num_fft, num_mels)
+
+
+###############################################################################
+# Spectrogram
+###############################################################################
+
+
+def reflect_pad_audio(audio, num_fft, hopsize):
+    """Reference-equivalent reflect padding of (B, 1, S) audio."""
+    size = (num_fft - hopsize) // 2
+    return jnp.pad(
+        audio, ((0, 0), (0, 0), (size, size)), mode='reflect')
+
+
+def frame_count(num_samples, num_fft, hopsize):
+    """Frames produced for audio of length num_samples (post reflect pad)."""
+    padded = num_samples + (num_fft - hopsize) // 2 * 2
+    return (padded - num_fft) // hopsize + 1
+
+
+@functools.partial(jax.jit, static_argnames=('num_fft', 'hopsize',
+                                             'window_size', 'precision'))
+def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
+                          precision='highest'):
+    """Magnitude STFT of (B, 1, S) audio -> (B, n_freqs, T).
+
+    Matches reference: reflect pad (num_fft - hop)//2, center=False STFT,
+    magnitude sqrt(re^2 + im^2 + 1e-6).
+    """
+    audio = reflect_pad_audio(audio.astype(jnp.float32), num_fft, hopsize)
+    basis = dft_basis(num_fft, window_size)            # (2F, num_fft)
+    # Strided conv: batch (B), feature (1), spatial (S). Filters (2F, 1, num_fft).
+    out = jax.lax.conv_general_dilated(
+        audio,
+        basis[:, None, :],
+        window_strides=(hopsize,),
+        padding='VALID',
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        precision=jax.lax.Precision(precision),
+    )                                                   # (B, 2F, T)
+    n_freqs = num_fft // 2 + 1
+    real, imag = out[:, :n_freqs], out[:, n_freqs:]
+    return jnp.sqrt(real * real + imag * imag + 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=('sample_rate', 'num_fft',
+                                             'hopsize', 'window_size',
+                                             'num_mels', 'precision',
+                                             'output_dtype'))
+def log_mel_spectrogram(audio, sample_rate=16000, num_fft=1024, hopsize=160,
+                        window_size=1024, num_mels=80, precision='highest',
+                        output_dtype=jnp.float32):
+    """Log-mel spectrogram of (B, 1, S) audio -> (B, num_mels, T).
+
+    Mel projection + dynamic range compression log(clamp(mel, 1e-5)) as in the
+    reference (ppgs/preprocess/mel.py:56-76). The DFT conv, magnitude, mel
+    matmul, and log all fuse inside one XLA computation.
+    """
+    spec = magnitude_spectrogram(
+        audio, num_fft, hopsize, window_size, precision)
+    basis = mel_basis(sample_rate, num_fft, num_mels)   # (M, F)
+    mel = jnp.einsum('mf,bft->bmt', basis, spec,
+                     precision=jax.lax.Precision(precision))
+    return jnp.log(jnp.clip(mel, min=1e-5)).astype(output_dtype)

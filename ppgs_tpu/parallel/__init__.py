@@ -1,0 +1,70 @@
+"""Device mesh + sharding layer.
+
+The reference is single-GPU with no distributed code (SURVEY.md §2.b). Here
+parallelism is first-class: one code path from 1 chip to a multi-host slice,
+expressed as a `jax.sharding.Mesh` plus NamedSharding rules. Batch (and the
+folded chunk dimension) shard over the 'data' axis; parameters are replicated
+(the PPG encoder is ~4M params — far under one chip's HBM). XLA inserts the
+psum for gradient reduction from the sharding annotations alone.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    shape: Sequence[int] = (-1,),
+    axis_names: Sequence[str] = ('data',),
+) -> Mesh:
+    """Create a device mesh. shape may contain one -1 (fill with all devices)."""
+    if devices is None:
+        devices = jax.devices()
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = len(devices) // max(known, 1)
+    devices = np.asarray(devices[:int(np.prod(shape))]).reshape(shape)
+    return Mesh(devices, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = 'data'):
+    """Device_put a pytree of host arrays with batch-dim sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_multiple(arrays, batch_axis_size: int):
+    """Pad the leading dim of every array to a multiple of the mesh size.
+
+    Padded rows must be masked by the caller (lengths of 0 produce no valid
+    frames, so metrics/loss ignore them automatically).
+    """
+    import numpy as np
+
+    def pad(x):
+        b = x.shape[0]
+        target = -(-b // batch_axis_size) * batch_axis_size
+        if target == b:
+            return x
+        widths = [(0, target - b)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths)
+
+    return jax.tree.map(pad, arrays)

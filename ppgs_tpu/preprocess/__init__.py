@@ -1,0 +1,13 @@
+from . import mel, spectrogram
+from .core import from_audio, from_audios, save_masked
+
+
+def get(representation: str):
+    """Duck-typed frontend dispatch (reference: ppgs/core.py:333-336)."""
+    import importlib
+
+    try:
+        return importlib.import_module(f'{__name__}.{representation}')
+    except ImportError as error:
+        raise ValueError(
+            f'Unknown representation {representation}') from error

@@ -1,0 +1,315 @@
+"""Training loop (reference: ppgs/train/core.py:17-386).
+
+TPU-first: one jit-compiled train step (forward, masked CE loss, backward,
+Adam update, gradient statistics) with donated state; data-parallel by
+sharding the batch over the mesh 'data' axis — XLA inserts the gradient psum
+from the sharding annotations. bf16 matmuls replace the reference's fp16
+GradScaler (bf16 needs no loss scaling). Checkpoints are flat npz pytrees
+with step/epoch; auto-resume picks the latest.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import config as config_mod
+from .. import load as load_mod
+from .. import models
+from .. import parallel
+from ..evaluate.metrics import Metrics
+
+
+###############################################################################
+# Loss
+###############################################################################
+
+
+def loss(logits, targets, config=None, class_weights=None, reduction='mean'):
+    """Masked cross-entropy (reference ppgs/train/core.py:373-386).
+
+    logits: (B, C, T); targets: (B, T) int with -100 = ignore.
+    """
+    config = config_mod.get(config)
+    num_classes = logits.shape[1]
+    flat_logits = logits.transpose(0, 2, 1).reshape(-1, num_classes)
+    flat_logits = flat_logits.astype(jnp.float32)
+    flat_targets = targets.reshape(-1)
+    valid = flat_targets != -100
+    safe_targets = jnp.where(valid, flat_targets, 0)
+
+    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        log_probs, safe_targets[:, None], axis=-1)[:, 0]
+
+    if class_weights is not None:
+        weights = class_weights[safe_targets] * valid
+    else:
+        weights = valid.astype(nll.dtype)
+    total = (nll * weights).sum()
+
+    if reduction == 'sum':
+        return total
+    if reduction == 'mean':
+        return total / jnp.maximum(weights.sum(), 1e-9)
+    if reduction in ('none', None):
+        return jnp.where(valid, nll, 0.0)
+    raise ValueError(f'Reduction {reduction} not defined')
+
+
+###############################################################################
+# Train step
+###############################################################################
+
+
+def make_optimizer(config):
+    return optax.adam(config.learning_rate)
+
+
+def gradient_stats(grads):
+    """L2 norm / max / min over the full gradient pytree
+    (replaces torchutil.gradients.stats)."""
+    leaves = jax.tree.leaves(grads)
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+    gmax = jnp.max(jnp.stack([jnp.max(g) for g in leaves]))
+    gmin = jnp.min(jnp.stack([jnp.min(g) for g in leaves]))
+    return {'gradients/norm': jnp.sqrt(sq),
+            'gradients/max': gmax,
+            'gradients/min': gmin}
+
+
+def make_train_step(config, optimizer, class_weights=None):
+    forward = models.get(config)[1]
+
+    clip_l2 = config.gradient_clip_threshold_l2
+    clip_inf = config.gradient_clip_threshold_inf
+
+    def step_fn(params, opt_state, features, targets, lengths, rng):
+        def loss_fn(p):
+            logits = forward(p, features, lengths, config, train=True,
+                             rng=rng)
+            return loss(logits, targets, config, class_weights)
+
+        train_loss, grads = jax.value_and_grad(loss_fn)(params)
+        stats = gradient_stats(grads)
+
+        # Conditional clipping matching the reference's threshold semantics:
+        # only rescale when the measured norm exceeds the threshold
+        if clip_l2 is not None:
+            scale = jnp.minimum(1.0, clip_l2 / (stats['gradients/norm'] + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        if clip_inf is not None:
+            max_abs = jnp.maximum(jnp.abs(stats['gradients/max']),
+                                  jnp.abs(stats['gradients/min']))
+            scale = jnp.minimum(1.0, clip_inf / (max_abs + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, train_loss, stats
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+###############################################################################
+# Checkpointing
+###############################################################################
+
+
+def checkpoint_state(directory, step, epoch, params, opt_state):
+    """Save a training checkpoint as {step:08d}.npz."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    flat = load_mod.flatten_params({
+        'params': jax.device_get(params),
+        'opt_state': jax.device_get(_opt_state_to_tree(opt_state)),
+    })
+    path = directory / f'{step:08d}.npz'
+    np.savez(path, **flat)
+    with open(directory / f'{step:08d}.json', 'w') as file:
+        json.dump({'step': step, 'epoch': epoch}, file)
+    return path
+
+
+def latest_checkpoint(directory):
+    paths = sorted(Path(directory).glob('[0-9]*.npz'))
+    return paths[-1] if paths else None
+
+
+def load_checkpoint(path, optimizer, params_template):
+    """Restore (params, opt_state, step, epoch) from an npz checkpoint."""
+    flat = np.load(path)
+    tree = load_mod.unflatten_params({k: flat[k] for k in flat.files})
+    params = tree['params']
+    opt_state = _tree_to_opt_state(
+        tree['opt_state'], optimizer, params_template)
+    with open(Path(path).with_suffix('.json')) as file:
+        state = json.load(file)
+    return params, opt_state, state['step'], state['epoch']
+
+
+def _opt_state_to_tree(opt_state):
+    """Adam state -> plain dict (count, mu, nu)."""
+    adam_state = opt_state[0]
+    return {'count': adam_state.count, 'mu': adam_state.mu,
+            'nu': adam_state.nu}
+
+
+def _tree_to_opt_state(tree, optimizer, params_template):
+    fresh = optimizer.init(params_template)
+    adam_state = fresh[0]._replace(
+        count=jnp.asarray(tree['count']), mu=tree['mu'], nu=tree['nu'])
+    return (adam_state,) + tuple(fresh[1:])
+
+
+###############################################################################
+# Scalars log (tensorboard-compatible JSONL fallback)
+###############################################################################
+
+
+class ScalarWriter:
+    """Append scalars to metrics.jsonl; use tensorboard when available."""
+
+    def __init__(self, directory):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.path = self.directory / 'metrics.jsonl'
+
+    def update(self, step, scalars):
+        record = {'step': int(step), 'time': time.time()}
+        record.update({k: float(v) for k, v in scalars.items()})
+        with open(self.path, 'a') as file:
+            file.write(json.dumps(record) + '\n')
+
+
+###############################################################################
+# Training
+###############################################################################
+
+
+def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
+          loader_fn=None):
+    """Train a model (reference ppgs/train/core.py:18-281).
+
+    ``loader_fn(partition) -> iterable of (features, targets, lengths)``
+    overrides the default dataset loader (used by tests/benchmarks).
+    """
+    from ..data import loader as data_loader
+
+    config = config_mod.get(config)
+    directory = Path(directory or config_mod.RUNS_DIR / config.config)
+    directory.mkdir(parents=True, exist_ok=True)
+    steps = max_steps or config.steps
+
+    if mesh is None:
+        mesh = parallel.make_mesh(
+            shape=config.mesh_shape, axis_names=config.mesh_axis_names)
+    n_data = mesh.shape.get('data', 1)
+
+    # Model + optimizer
+    rng = jax.random.PRNGKey(config.random_seed)
+    rng, init_rng = jax.random.split(rng)
+    params = models.init(init_rng, config)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+
+    class_weights = (load_mod.phoneme_weights(config)
+                     if config.class_balanced else None)
+    step_fn = make_train_step(config, optimizer, class_weights)
+
+    # Maybe resume
+    ckpt = latest_checkpoint(directory)
+    if ckpt is not None:
+        params, opt_state, step, epoch = load_checkpoint(
+            ckpt, optimizer, params)
+    else:
+        step, epoch = 0, 0
+
+    # Replicate state over the mesh
+    params = parallel.replicate(mesh, params)
+    opt_state = parallel.replicate(mesh, opt_state)
+
+    if loader_fn is None:
+        train_loader = data_loader(dataset, 'train', config=config)
+        valid_loader = data_loader(dataset, 'valid', config=config)
+
+        def loader_fn(partition):
+            ldr = train_loader if partition == 'train' else valid_loader
+            for batch in ldr:
+                features, targets, lengths = batch[:3]
+                yield features, targets, lengths
+        loader_fn_uses_sampler = True
+    else:
+        train_loader = None
+        loader_fn_uses_sampler = False
+
+    writer = ScalarWriter(directory)
+
+    try:
+        while step < steps:
+            if loader_fn_uses_sampler:
+                train_loader.batch_sampler.set_epoch(epoch)
+            for features, targets, lengths in loader_fn('train'):
+                batch = parallel.pad_batch_to_multiple(
+                    (np.asarray(features), np.asarray(targets),
+                     np.asarray(lengths)), n_data)
+                features_d, targets_d, lengths_d = parallel.shard_batch(
+                    mesh, batch)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, train_loss, stats = step_fn(
+                    params, opt_state, features_d, targets_d, lengths_d,
+                    step_rng)
+
+                if step % 100 == 0:
+                    scalars = {'train/loss': float(train_loss)}
+                    scalars.update(
+                        {k: float(v) for k, v in stats.items()})
+                    writer.update(step, scalars)
+
+                if step % config.evaluation_interval == 0:
+                    evaluate_partition(
+                        writer, step, params, config, loader_fn, 'valid',
+                        mesh, n_data,
+                        config.default_evaluation_steps
+                        if step < steps else None)
+
+                if step and step % config.checkpoint_interval == 0:
+                    checkpoint_state(directory, step, epoch, params,
+                                     opt_state)
+
+                step += 1
+                if step >= steps:
+                    break
+            epoch += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        checkpoint_state(directory, step, epoch, params, opt_state)
+
+    return params
+
+
+def evaluate_partition(writer, step, params, config, loader_fn, partition,
+                       mesh, n_data, evaluation_steps=None):
+    """Eval pass writing metric scalars (reference train/core.py:288-365)."""
+    forward = jax.jit(
+        lambda p, f, l: models.get(config)[1](p, f, l, config))
+    metrics = Metrics(config=config)
+    for i, (features, targets, lengths) in enumerate(loader_fn(partition)):
+        batch = parallel.pad_batch_to_multiple(
+            (np.asarray(features), np.asarray(targets),
+             np.asarray(lengths)), n_data)
+        features_d, targets_d, lengths_d = parallel.shard_batch(mesh, batch)
+        logits = forward(params, features_d, lengths_d)
+        metrics.update(logits, targets_d)
+        if evaluation_steps is not None and i + 1 == evaluation_steps:
+            break
+    scalars = {
+        f'{partition}/{k}': v for k, v in metrics().items()
+        if isinstance(v, (int, float))}
+    writer.update(step, scalars)
+    return scalars

@@ -1,0 +1,127 @@
+"""End-to-end inference API test: torch full pipeline (mel frontend +
+transformer) vs ppgs_tpu.from_audio with a converted checkpoint."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+import ppgs_tpu
+from ppgs_tpu import load as load_mod
+from ppgs_tpu.data import audio as audio_io
+
+
+@pytest.fixture(scope='module')
+def checkpoint(tmp_path_factory):
+    """A random torch reference model, converted + saved as npz."""
+    import sys
+    sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+    from test_transformer_parity import TorchTransformer
+    from ppgs_tpu.convert import transformer_params_from_state_dict
+
+    torch.manual_seed(42)
+    tm = TorchTransformer(layers=5, hidden=256, inp=80, out=40).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = transformer_params_from_state_dict(sd, num_layers=5)
+    path = tmp_path_factory.mktemp('ckpt') / 'random.npz'
+    load_mod.save_params(path, params)
+    return tm, path
+
+
+def torch_full_pipeline(tm, audio_np):
+    """Reference from_audio: mel frontend + transformer + softmax."""
+    import sys
+    from test_stft import torch_reference_mel
+
+    mel = torch.from_numpy(torch_reference_mel(audio_np)).float()
+    lengths = torch.tensor([mel.shape[-1]])
+    with torch.no_grad():
+        # short input: no chunking in reference either (< 500 frames)
+        logits = tm(mel, lengths)
+        return torch.softmax(logits, dim=1).numpy()
+
+
+def test_from_audio_matches_torch_pipeline(checkpoint):
+    tm, path = checkpoint
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal((1, 1, 48000))).astype(np.float32)
+
+    ref = torch_full_pipeline(tm, audio)
+
+    # Default (bf16 matmul) path: probabilities within ~1e-3
+    ours = np.asarray(ppgs_tpu.from_audio(audio, 16000, checkpoint=path))
+    assert ours.shape == ref.shape == (1, 40, 300)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+    np.testing.assert_allclose(ours.sum(axis=1), 1.0, rtol=1e-4)
+
+    # fp32 path: tight parity
+    fp32 = ppgs_tpu.Config(compute_dtype='float32')
+    ours32 = np.asarray(ppgs_tpu.from_audio(
+        audio, 16000, checkpoint=path, config=fp32))
+    np.testing.assert_allclose(ours32, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_from_audio_long_input_chunked(checkpoint):
+    """> 500 frames triggers chunked inference; must match reference loop."""
+    import math
+
+    tm, path = checkpoint
+    rng = np.random.default_rng(1)
+    seconds = 7  # 700 frames
+    audio = (0.1 * rng.standard_normal((1, 1, seconds * 16000))).astype(
+        np.float32)
+
+    fp32 = ppgs_tpu.Config(compute_dtype='float32')
+    ours = np.asarray(ppgs_tpu.from_audio(
+        audio, 16000, checkpoint=path, config=fp32))
+
+    from test_stft import torch_reference_mel
+
+    mel = torch.from_numpy(torch_reference_mel(audio)).float()
+    T = mel.shape[-1]
+    lengths = torch.tensor([T])
+    overlap, chunk_len = 50, 500
+    stride = chunk_len - 2 * overlap
+    padded = torch.nn.functional.pad(mel, (overlap, 0), mode='replicate')
+    outs = []
+    lens = lengths.clone()
+    with torch.no_grad():
+        for i in range(math.ceil(T / stride)):
+            split = padded[..., i * stride:i * stride + chunk_len]
+            cl = (lens + overlap).clamp(0, chunk_len)
+            cl[cl == overlap] = 0
+            lens = (lens - stride).clamp(min=0)
+            outs.append(tm(split, cl)[..., overlap:chunk_len - overlap])
+        logits = torch.cat(outs, dim=-1)[..., :T]
+        ref = torch.softmax(logits, dim=1).numpy()
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_from_file_and_file_to_file(checkpoint, tmp_path):
+    tm, path = checkpoint
+    rng = np.random.default_rng(2)
+    audio = (0.1 * rng.standard_normal((1, 16000))).astype(np.float32)
+    wav = tmp_path / 'x.wav'
+    audio_io.save_wav(wav, audio)
+
+    ppg = np.asarray(ppgs_tpu.from_file(wav, checkpoint=path))
+    assert ppg.shape == (40, 100)
+
+    out = tmp_path / 'x.npy'
+    ppgs_tpu.from_file_to_file(wav, out, checkpoint=path)
+    saved = np.load(out)
+    np.testing.assert_allclose(saved, ppg, atol=2e-5)
+
+    # Batch API
+    outs = [tmp_path / 'a.npy', tmp_path / 'b.npy']
+    ppgs_tpu.from_files_to_files([wav, wav], outs, checkpoint=path,
+                                 num_workers=2)
+    for o in outs:
+        np.testing.assert_allclose(np.load(o), ppg, atol=2e-5)
+
+
+def test_representation_file_extension():
+    assert ppgs_tpu.representation_file_extension() == '-ppg.npy'

@@ -1,0 +1,165 @@
+"""Training step, loss, checkpointing, and multi-device sharding tests."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import ppgs_tpu
+from ppgs_tpu import parallel
+from ppgs_tpu.models import transformer
+from ppgs_tpu.train import core as train_core
+
+
+TINY = ppgs_tpu.Config(
+    num_hidden_layers=2, hidden_channels=64, ffn_channels=128,
+    max_len=64, chunk_length=64, chunk_overlap=8, compute_dtype='float32')
+
+
+def make_batch(B=4, T=64, seed=0):
+    rng = np.random.default_rng(seed)
+    features = rng.standard_normal((B, 80, T)).astype(np.float32)
+    targets = rng.integers(0, 40, size=(B, T)).astype(np.int64)
+    lengths = np.array([T, T - 10, T // 2, 5][:B], dtype=np.int64)
+    for i, l in enumerate(lengths):
+        features[i, :, l:] = 0
+        targets[i, l:] = -100
+    return features, targets, lengths
+
+
+def test_loss_matches_torch_cross_entropy():
+    features, targets, lengths = make_batch()
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((4, 40, 64)).astype(np.float32)
+
+    ours = float(train_core.loss(jnp.asarray(logits), jnp.asarray(targets),
+                                 TINY))
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        reduction='mean').item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+    ours_sum = float(train_core.loss(
+        jnp.asarray(logits), jnp.asarray(targets), TINY, reduction='sum'))
+    ref_sum = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        reduction='sum').item()
+    assert ours_sum == pytest.approx(ref_sum, rel=1e-5)
+
+
+def test_loss_with_class_weights_matches_torch():
+    features, targets, lengths = make_batch()
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((4, 40, 64)).astype(np.float32)
+    weights = rng.uniform(0.1, 1.0, size=40).astype(np.float32)
+
+    ours = float(train_core.loss(
+        jnp.asarray(logits), jnp.asarray(targets), TINY,
+        class_weights=jnp.asarray(weights)))
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        torch.from_numpy(weights), reduction='mean').item()
+    assert ours == pytest.approx(ref, rel=1e-4)
+
+
+def test_train_step_decreases_loss():
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+    optimizer = train_core.make_optimizer(TINY)
+    opt_state = optimizer.init(params)
+    step_fn = train_core.make_train_step(TINY, optimizer)
+
+    features, targets, lengths = make_batch()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, train_loss, stats = step_fn(
+            params, opt_state, jnp.asarray(features), jnp.asarray(targets),
+            jnp.asarray(lengths), step_rng)
+        losses.append(float(train_loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert float(stats['gradients/norm']) > 0
+
+
+def test_train_step_sharded_matches_single_device():
+    """DP over the 8-device CPU mesh must match single-device updates."""
+    devices = jax.devices()
+    assert len(devices) == 8, 'conftest should provide 8 virtual devices'
+    mesh = parallel.make_mesh(shape=(8,), axis_names=('data',))
+
+    features, targets, lengths = make_batch(B=8)
+    lengths = np.array([64, 54, 32, 5, 64, 64, 20, 64], dtype=np.int64)
+    rng = np.random.default_rng(3)
+    features = rng.standard_normal((8, 80, 64)).astype(np.float32)
+    targets = rng.integers(0, 40, size=(8, 64)).astype(np.int64)
+    for i, l in enumerate(lengths):
+        features[i, :, l:] = 0
+        targets[i, l:] = -100
+
+    def run(shard):
+        params = transformer.init(jax.random.PRNGKey(0), TINY)
+        optimizer = train_core.make_optimizer(TINY)
+        opt_state = optimizer.init(params)
+        step_fn = train_core.make_train_step(TINY, optimizer)
+        if shard:
+            params = parallel.replicate(mesh, params)
+            opt_state = parallel.replicate(mesh, opt_state)
+            f, t, l = parallel.shard_batch(
+                mesh, (features, targets, lengths))
+        else:
+            f, t, l = (jnp.asarray(features), jnp.asarray(targets),
+                       jnp.asarray(lengths))
+        losses = []
+        rng_ = jax.random.PRNGKey(7)
+        for _ in range(3):
+            # rng fixed: dropout pattern must agree across runs
+            params, opt_state, loss_val, _ = step_fn(
+                params, opt_state, f, t, l, rng_)
+            losses.append(float(loss_val))
+        return losses, jax.device_get(params)
+
+    losses_single, params_single = run(False)
+    losses_sharded, params_sharded = run(True)
+
+    np.testing.assert_allclose(losses_single, losses_sharded, rtol=1e-4)
+    # Adam updates are O(lr)=2e-4 per step; cross-device reduction order
+    # shifts them by up to ~1e-4 in the first steps
+    flat_a = jax.tree.leaves(params_single)
+    flat_b = jax.tree.leaves(params_sharded)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+    optimizer = train_core.make_optimizer(TINY)
+    opt_state = optimizer.init(params)
+
+    # Take one step so opt state is non-trivial
+    step_fn = train_core.make_train_step(TINY, optimizer)
+    features, targets, lengths = make_batch()
+    params, opt_state, _, _ = step_fn(
+        params, opt_state, jnp.asarray(features), jnp.asarray(targets),
+        jnp.asarray(lengths), jax.random.PRNGKey(2))
+
+    path = train_core.checkpoint_state(tmp_path, 123, 4, params, opt_state)
+    assert path.name == '00000123.npz'
+    assert train_core.latest_checkpoint(tmp_path) == path
+
+    params2, opt_state2, step, epoch = train_core.load_checkpoint(
+        path, optimizer, params)
+    assert (step, epoch) == (123, 4)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(a, b, atol=0)
+    assert int(opt_state2[0].count) == int(opt_state[0].count)
+
+
+def test_pad_batch_to_multiple():
+    arrays = (np.ones((5, 3)), np.ones((5,)))
+    padded = parallel.pad_batch_to_multiple(arrays, 4)
+    assert padded[0].shape == (8, 3)
+    assert padded[1].shape == (8,)
+    assert padded[0][5:].sum() == 0
