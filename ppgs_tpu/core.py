@@ -26,7 +26,6 @@ from . import config as config_mod
 from . import load as load_mod
 from . import preprocess
 from .models import transformer as transformer_model
-from .models import convolution as convolution_model
 
 
 ###############################################################################
@@ -49,15 +48,19 @@ def _get_model(representation, checkpoint, config):
 @functools.partial(jax.jit, static_argnames=('config', 'softmax', 'chunked'))
 def _forward_jit(params, features, lengths, phys_lengths, config, softmax,
                  chunked):
-    if config.model == 'convolution':
-        logits = convolution_model.forward(params, features, lengths, config)
-    elif chunked:
-        logits = transformer_model.chunked_forward(
-            params, features, lengths, config, true_frames=phys_lengths)
+    if config.model == 'transformer':
+        if chunked:
+            logits = transformer_model.chunked_forward(
+                params, features, lengths, config,
+                true_frames=phys_lengths)
+        else:
+            phys = jnp.full(lengths.shape, phys_lengths, lengths.dtype)
+            logits = transformer_model.forward(
+                params, features, lengths, config, phys_lengths=phys)
     else:
-        phys = jnp.full(lengths.shape, phys_lengths, lengths.dtype)
-        logits = transformer_model.forward(
-            params, features, lengths, config, phys_lengths=phys)
+        from . import models
+
+        logits = models.get(config)[1](params, features, lengths, config)
     if softmax:
         return jax.nn.softmax(logits, axis=1)
     return logits
@@ -90,6 +93,13 @@ def infer(
     features = jnp.asarray(features)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     B, C, T = features.shape
+
+    if config.model != 'transformer':
+        # Raw-audio models (Wav2Vec2.0 / W2V2FC) and the convolution
+        # baseline take inputs as-is; no frame bucketing or chunking
+        return _forward_jit(params, features, lengths,
+                            jnp.asarray(T, jnp.int32), config, softmax,
+                            False)
 
     stride = config.chunk_length - 2 * config.chunk_overlap
     chunked = (not legacy_mode) and T > config.chunk_length

@@ -4,7 +4,7 @@ Models are (init, forward) function pairs over parameter pytrees.
 """
 
 from ..config import Config
-from . import convolution, transformer
+from . import convolution, transformer, w2v2
 
 
 def get(config: Config):
@@ -13,6 +13,14 @@ def get(config: Config):
         return transformer.init, transformer.forward
     if config.model == 'convolution':
         return convolution.init, convolution.forward
+    if config.model == 'Wav2Vec2.0':
+        from . import w2v2_ppg
+
+        return w2v2_ppg.init, w2v2_ppg.forward
+    if config.model == 'W2V2FC':
+        from . import w2v2_ppg
+
+        return w2v2_ppg.fc_init, w2v2_ppg.fc_forward
     raise ValueError(f'Model {config.model} is not defined')
 
 

@@ -1,0 +1,267 @@
+"""wav2vec 2.0 (base) in JAX: feature encoder + transformer encoder.
+
+Used by two consumers (mirroring the reference):
+- the **w2v2fb frontend** (ppgs/preprocess/w2v2fb/core.py): frozen
+  facebook/wav2vec2-base, 50 Hz latents nearest-upsampled to 100 Hz;
+- the **W2V2 end-to-end model** (ppgs/model/w2v2.py): same architecture with
+  the final conv stride 2 -> 1 so latents come out at 100 Hz, plus a
+  Conv1d(768 -> 40) classification head.
+
+Semantics match transformers.Wav2Vec2Model (post-LN variant,
+do_stable_layer_norm=False) so published weights convert losslessly; see
+convert/w2v2_weights.py. All matmuls are feature-last for MXU tiling; the
+grouped positional conv and feature-extractor convs lower to XLA convs.
+"""
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+###############################################################################
+# Architecture config
+###############################################################################
+
+
+@dataclasses.dataclass(frozen=True)
+class W2V2Config:
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    compute_dtype: str = 'float32'
+
+    def with_final_stride(self, stride: int) -> 'W2V2Config':
+        """The reference's 100 Hz variant: last conv stride 2 -> stride
+        (ppgs/model/w2v2.py:26)."""
+        return dataclasses.replace(
+            self, conv_stride=self.conv_stride[:-1] + (stride,))
+
+
+BASE = W2V2Config()
+
+
+def feat_extract_output_lengths(lengths, config: W2V2Config = BASE):
+    """Conv-stack output lengths: floor((L - k) / s) + 1 per layer."""
+    for kernel, stride in zip(config.conv_kernel, config.conv_stride):
+        lengths = (lengths - kernel) // stride + 1
+    return lengths
+
+
+###############################################################################
+# Initialization (for tests; production weights come from conversion)
+###############################################################################
+
+
+def init(rng, config: W2V2Config = BASE):
+    # 7 feature convs + projection + pos conv + 6 matrices per layer
+    num_keys = len(config.conv_dim) + 2 + 6 * config.num_layers + 8
+    keys = iter(jax.random.split(rng, num_keys))
+
+    def normal(shape, scale=0.02):
+        return jax.random.normal(next(keys), shape) * scale
+
+    params = {'feature_encoder': [], 'encoder': {}}
+    in_dim = 1
+    for i, (out_dim, kernel) in enumerate(
+            zip(config.conv_dim, config.conv_kernel)):
+        layer = {'conv': {'weight': normal((kernel, in_dim, out_dim))}}
+        if i == 0:
+            layer['group_norm'] = {'scale': jnp.ones((out_dim,)),
+                                   'bias': jnp.zeros((out_dim,))}
+        params['feature_encoder'].append(layer)
+        in_dim = out_dim
+
+    d = config.hidden_size
+    params['feature_projection'] = {
+        'norm': {'scale': jnp.ones((config.conv_dim[-1],)),
+                 'bias': jnp.zeros((config.conv_dim[-1],))},
+        'projection': {'weight': normal((config.conv_dim[-1], d)),
+                       'bias': jnp.zeros((d,))},
+    }
+    params['encoder'] = {
+        'pos_conv': {
+            'weight': normal((config.num_conv_pos_embeddings,
+                              d // config.num_conv_pos_embedding_groups, d)),
+            'bias': jnp.zeros((d,)),
+        },
+        'norm': {'scale': jnp.ones((d,)), 'bias': jnp.zeros((d,))},
+        'layers': [],
+    }
+    for _ in range(config.num_layers):
+        params['encoder']['layers'].append({
+            'attn': {
+                'wq': normal((d, d)), 'bq': jnp.zeros((d,)),
+                'wk': normal((d, d)), 'bk': jnp.zeros((d,)),
+                'wv': normal((d, d)), 'bv': jnp.zeros((d,)),
+                'wo': normal((d, d)), 'bo': jnp.zeros((d,)),
+            },
+            'norm1': {'scale': jnp.ones((d,)), 'bias': jnp.zeros((d,))},
+            'ffn': {
+                'w1': normal((d, config.intermediate_size)),
+                'b1': jnp.zeros((config.intermediate_size,)),
+                'w2': normal((config.intermediate_size, d)),
+                'b2': jnp.zeros((d,)),
+            },
+            'norm2': {'scale': jnp.ones((d,)), 'bias': jnp.zeros((d,))},
+        })
+    return params
+
+
+###############################################################################
+# Blocks
+###############################################################################
+
+
+def _layer_norm(x, p, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p['scale'] + p['bias']
+
+
+def _group_norm(x, p, groups, eps=1e-5):
+    """GroupNorm over (B, T, C) with C split into groups (channels-last)."""
+    B, T, C = x.shape
+    xg = x.reshape(B, T, groups, C // groups).transpose(0, 2, 1, 3)
+    mean = xg.mean(axis=(2, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(2, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.transpose(0, 2, 1, 3).reshape(B, T, C)
+    return x * p['scale'] + p['bias']
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def feature_encoder(params, audio, config: W2V2Config = BASE,
+                    precision=None):
+    """Raw audio (B, S) -> features (B, T', conv_dim[-1]) at ~50 Hz."""
+    x = audio[..., None].astype(jnp.float32)          # (B, S, 1)
+    for i, layer in enumerate(params['feature_encoder']):
+        x = jax.lax.conv_general_dilated(
+            x, layer['conv']['weight'],
+            window_strides=(config.conv_stride[i],),
+            padding='VALID',
+            dimension_numbers=('NHC', 'HIO', 'NHC'),
+            precision=precision)
+        if 'group_norm' in layer:
+            x = _group_norm(x, layer['group_norm'],
+                            groups=config.conv_dim[0])
+        x = _gelu(x)
+    return x
+
+
+def _pos_conv(x, p, config: W2V2Config, precision=None):
+    """Grouped positional conv (k=128, groups=16), 'same' pad minus one."""
+    k = config.num_conv_pos_embeddings
+    pad = k // 2
+    out = jax.lax.conv_general_dilated(
+        x, p['weight'],
+        window_strides=(1,),
+        padding=((pad, pad),),
+        dimension_numbers=('NHC', 'HIO', 'NHC'),
+        feature_group_count=config.num_conv_pos_embedding_groups,
+        precision=precision)
+    out = out + p['bias']
+    if k % 2 == 0:
+        out = out[:, :-1]                              # SamePadLayer
+    return _gelu(out)
+
+
+def _attention(x, p, mask, heads, compute_dtype, precision):
+    B, T, C = x.shape
+    d_head = C // heads
+    xc = x.astype(compute_dtype)
+    q = xc @ p['wq'].astype(compute_dtype) + p['bq'].astype(compute_dtype)
+    k = xc @ p['wk'].astype(compute_dtype) + p['bk'].astype(compute_dtype)
+    v = xc @ p['wv'].astype(compute_dtype) + p['bv'].astype(compute_dtype)
+    q = q.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        precision=precision).astype(jnp.float32)
+    logits = logits / math.sqrt(d_head)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+    logits_max = jnp.max(logits, axis=-1, keepdims=True)
+    logits_max = jnp.where(jnp.isfinite(logits_max), logits_max, 0.0)
+    unnorm = jnp.exp(logits - logits_max)
+    if mask is not None:
+        unnorm = jnp.where(mask[:, None, None, :], unnorm, 0.0)
+    attn = unnorm / jnp.maximum(unnorm.sum(-1, keepdims=True), 1e-30)
+
+    out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(compute_dtype), v,
+                     precision=precision)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+    return (out @ p['wo'].astype(compute_dtype)
+            + p['bo'].astype(compute_dtype)).astype(x.dtype)
+
+
+def encoder(params, hidden, attention_mask=None,
+            config: W2V2Config = BASE, precision=None):
+    """Transformer encoder on (B, T, C) features (post-LN variant)."""
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    p = params['encoder']
+
+    if attention_mask is not None:
+        hidden = hidden * attention_mask[..., None]
+
+    hidden = hidden + _pos_conv(hidden, p['pos_conv'], config, precision)
+    hidden = _layer_norm(hidden, p['norm'], config.layer_norm_eps)
+
+    for layer in p['layers']:
+        attn_out = _attention(hidden, layer['attn'], attention_mask,
+                              config.num_heads, compute_dtype, precision)
+        hidden = _layer_norm(hidden + attn_out, layer['norm1'],
+                             config.layer_norm_eps)
+        hc = hidden.astype(compute_dtype)
+        ff = _gelu(hc @ layer['ffn']['w1'].astype(compute_dtype)
+                   + layer['ffn']['b1'].astype(compute_dtype))
+        ff = (ff @ layer['ffn']['w2'].astype(compute_dtype)
+              + layer['ffn']['b2'].astype(compute_dtype)).astype(hidden.dtype)
+        hidden = _layer_norm(hidden + ff, layer['norm2'],
+                             config.layer_norm_eps)
+    return hidden
+
+
+def forward(params, audio, lengths=None, config: W2V2Config = BASE,
+            precision=None, mask_config: Optional[W2V2Config] = None):
+    """Full wav2vec2: (B, S) audio -> (B, T', hidden) last hidden state.
+
+    ``lengths``: valid sample counts; converted to a feature-level attention
+    mask like transformers' _get_feature_vector_attention_mask.
+
+    ``mask_config``: config used for the mask length formula when it differs
+    from the conv config. The reference's 100 Hz W2V2 model mutates the last
+    conv stride 2 -> 1 (ppgs/model/w2v2.py:26) while transformers still
+    derives the mask from the *original* config strides — masking off the
+    second half of the frames. That trained-in behavior must be reproduced
+    for checkpoint parity.
+    """
+    features = feature_encoder(params, audio, config, precision)
+
+    fp = params['feature_projection']
+    hidden = _layer_norm(features, fp['norm'], config.layer_norm_eps)
+    hidden = hidden @ fp['projection']['weight'] + fp['projection']['bias']
+
+    mask = None
+    if lengths is not None:
+        out_lengths = feat_extract_output_lengths(
+            lengths, mask_config or config)
+        mask = (jnp.arange(features.shape[1])[None, :]
+                < out_lengths[:, None])
+
+    return encoder(params, hidden, mask, config, precision)

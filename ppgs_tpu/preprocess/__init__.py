@@ -1,4 +1,4 @@
-from . import mel, spectrogram
+from . import mel, spectrogram, w2v2fb, w2v2fc, w2v2ft, encodec, dac
 from .core import from_audio, from_audios, save_masked
 
 

@@ -1,0 +1,124 @@
+"""Golden parity: our JAX wav2vec2 vs transformers.Wav2Vec2Model (random
+weights, CPU torch) — the weight-conversion contract for w2v2fb."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ppgs_tpu.convert.w2v2_weights import w2v2_params_from_state_dict
+from ppgs_tpu.models import w2v2
+
+
+@pytest.fixture(scope='module')
+def torch_model():
+    import transformers
+
+    torch.manual_seed(0)
+    # Small config, same topology knobs as facebook/wav2vec2-base
+    config = transformers.Wav2Vec2Config(
+        conv_dim=(32, 32, 32),
+        conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2),
+        hidden_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=96,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        num_feat_extract_layers=3,
+        do_stable_layer_norm=False,
+        feat_extract_norm='group',
+        conv_bias=False,
+    )
+    model = transformers.Wav2Vec2Model(config).eval()
+    jcfg = w2v2.W2V2Config(
+        conv_dim=(32, 32, 32),
+        conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2),
+        hidden_size=48,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=96,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = w2v2_params_from_state_dict(sd, num_feat_layers=3, num_layers=2)
+    return model, params, jcfg
+
+
+def test_feature_encoder_matches(torch_model):
+    model, params, jcfg = torch_model
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 800)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model.feature_extractor(
+            torch.from_numpy(audio)).transpose(1, 2).numpy()
+    ours = np.asarray(w2v2.feature_encoder(
+        params, jnp.asarray(audio), jcfg, precision='highest'))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_full_forward_matches(torch_model):
+    model, params, jcfg = torch_model
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 1600)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(audio)).last_hidden_state.numpy()
+    ours = np.asarray(w2v2.forward(
+        params, jnp.asarray(audio), config=jcfg, precision='highest'))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_forward_with_attention_mask_matches(torch_model):
+    model, params, jcfg = torch_model
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((2, 1600)).astype(np.float32)
+    lengths = np.array([1600, 900])
+    mask = (np.arange(1600)[None] < lengths[:, None]).astype(np.int64)
+    audio = (audio * mask).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(audio),
+                    attention_mask=torch.from_numpy(mask)).last_hidden_state
+        ref = ref.numpy()
+    ours = np.asarray(w2v2.forward(
+        params, jnp.asarray(audio), jnp.asarray(lengths), jcfg,
+        precision='highest'))
+    assert ours.shape == ref.shape
+    # Compare valid frames only
+    out_lengths = np.asarray(
+        w2v2.feat_extract_output_lengths(lengths, jcfg))
+    for b, l in enumerate(out_lengths):
+        np.testing.assert_allclose(ours[b, :l], ref[b, :l], rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_output_lengths_match_transformers(torch_model):
+    model, params, jcfg = torch_model
+    lengths = np.array([800, 1600, 999])
+    ref = model._get_feat_extract_output_lengths(
+        torch.from_numpy(lengths)).numpy()
+    ours = np.asarray(w2v2.feat_extract_output_lengths(lengths, jcfg))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_final_stride_variant():
+    """stride 2 -> 1 on the last conv doubles the frame rate
+    (reference ppgs/model/w2v2.py:26)."""
+    cfg = w2v2.W2V2Config(
+        conv_dim=(32, 32, 32), conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2), hidden_size=48, num_layers=1, num_heads=4,
+        intermediate_size=96, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4)
+    cfg100 = cfg.with_final_stride(1)
+    assert cfg100.conv_stride == (5, 2, 1)
+    l50 = int(w2v2.feat_extract_output_lengths(np.array([1600]), cfg)[0])
+    l100 = int(w2v2.feat_extract_output_lengths(np.array([1600]), cfg100)[0])
+    assert l100 > 2 * l50 - 4

@@ -1,0 +1,136 @@
+"""Parity for the wav2vec2-based PPG models (W2V2 end-to-end, W2V2FC) vs a
+torch reconstruction of the reference architecture with random weights."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+import ppgs_tpu
+from ppgs_tpu.convert.w2v2_weights import w2v2_params_from_state_dict
+from ppgs_tpu.models import w2v2, w2v2_ppg
+
+
+SMALL = dict(
+    conv_dim=(32, 32, 32),
+    conv_kernel=(10, 3, 2),
+    conv_stride=(5, 2, 2),
+    hidden_size=48,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    num_feat_extract_layers=3,
+    do_stable_layer_norm=False,
+    feat_extract_norm='group',
+    conv_bias=False,
+)
+
+
+@pytest.fixture(scope='module')
+def small():
+    import transformers
+
+    torch.manual_seed(0)
+    config = transformers.Wav2Vec2Config(
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=96,
+        **SMALL)
+    model = transformers.Wav2Vec2Model(config).eval()
+    # Reference W2V2: final conv stride -> 1 (ppgs/model/w2v2.py:26)
+    model.feature_extractor.conv_layers[-1].conv.stride = (1,)
+
+    jcfg = w2v2.W2V2Config(
+        conv_dim=(32, 32, 32), conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 1), hidden_size=48, num_layers=2, num_heads=4,
+        intermediate_size=96, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    trunk = w2v2_params_from_state_dict(sd, num_feat_layers=3, num_layers=2)
+    return model, trunk, jcfg
+
+
+def test_w2v2_model_matches_reference_architecture(small, monkeypatch):
+    model, trunk, jcfg = small
+    torch.manual_seed(1)
+    head = torch.nn.Conv1d(48, 40, 5, padding=2).eval()
+
+    rng = np.random.default_rng(0)
+    S = 3200
+    audio = (0.1 * rng.standard_normal((2, 1, S))).astype(np.float32)
+    lengths = np.array([S, 2000])
+    for i, l in enumerate(lengths):
+        audio[i, :, l:] = 0
+
+    # Torch reference forward (ppgs/model/w2v2.py:41-55)
+    pad = w2v2_ppg.PADDING
+    padded = torch.nn.functional.pad(
+        torch.from_numpy(audio), (pad, pad)).squeeze(1)
+    T_pad = padded.shape[-1]
+    mask = ((torch.arange(T_pad)[None] - 2 * pad)
+            < torch.from_numpy(lengths)[:, None]).long()
+    with torch.no_grad():
+        latent = model(padded, mask).last_hidden_state.transpose(1, 2)
+        ref = head(latent).numpy()
+
+    # Ours: same trunk + converted head, small architecture monkeypatched in
+    params = {
+        'w2v2': trunk,
+        'head': {
+            'weight': np.transpose(head.weight.detach().numpy(), (2, 1, 0)),
+            'bias': head.bias.detach().numpy(),
+        },
+    }
+    monkeypatch.setattr(w2v2_ppg, 'w2v2_100hz_config', lambda *a, **k: jcfg)
+    config = ppgs_tpu.Config(model='Wav2Vec2.0', compute_dtype='float32')
+    ours = np.asarray(w2v2_ppg.forward(
+        params, jnp.asarray(audio), jnp.asarray(lengths), config,
+        precision='highest'))
+
+    assert ours.shape == ref.shape
+    # Compare frames valid for both elements
+    out_lengths = np.asarray(w2v2.feat_extract_output_lengths(
+        lengths + 2 * pad, jcfg))
+    for b, l in enumerate(out_lengths):
+        np.testing.assert_allclose(ours[b, :, :l], ref[b, :, :l],
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_w2v2fc_permutation(small, monkeypatch):
+    """FC head output drops last 2 tokens and permutes via CHARSIU_PERMUTE."""
+    model, trunk, jcfg = small
+    rng = np.random.default_rng(1)
+    head_w = rng.standard_normal((48, 42)).astype(np.float32)
+    head_b = rng.standard_normal(42).astype(np.float32)
+    params = {'w2v2': trunk,
+              'head': {'weight': head_w, 'bias': head_b}}
+
+    S = 1600
+    audio = (0.1 * rng.standard_normal((1, 1, S))).astype(np.float32)
+    lengths = np.array([S])
+
+    monkeypatch.setattr(w2v2_ppg, 'w2v2_100hz_config', lambda *a, **k: jcfg)
+    config = ppgs_tpu.Config(model='W2V2FC', compute_dtype='float32')
+    out = np.asarray(w2v2_ppg.fc_forward(
+        params, jnp.asarray(audio), jnp.asarray(lengths), config,
+        precision='highest'))
+    assert out.shape[1] == 40
+
+    # Manual check: raw logits -> [:-2] -> permute
+    pad = w2v2_ppg.PADDING
+    padded = jnp.pad(jnp.asarray(audio), ((0, 0), (0, 0), (pad, pad)))
+    hidden = np.asarray(w2v2.forward(
+        trunk, padded.squeeze(1), jnp.asarray(lengths + 2 * pad), jcfg,
+        precision='highest'))
+    raw = hidden @ head_w + head_b
+    expected = raw[..., :-2][..., ppgs_tpu.CHARSIU_PERMUTE].transpose(0, 2, 1)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_factory_dispatch():
+    from ppgs_tpu import models
+
+    for name in ['transformer', 'convolution', 'Wav2Vec2.0', 'W2V2FC']:
+        config = ppgs_tpu.Config(model=name)
+        init_fn, forward_fn = models.get(config)
+        assert callable(init_fn) and callable(forward_fn)
+    with pytest.raises(ValueError):
+        models.get(ppgs_tpu.Config(model='nope'))
