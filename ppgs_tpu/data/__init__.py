@@ -1,4 +1,6 @@
-from . import audio, textgrid
+from . import audio, stats, textgrid
+from . import download
+from . import datasets as datasets
 from .collate import Collate
 from .dataset import Dataset, Metadata
 from .loader import Loader, loader

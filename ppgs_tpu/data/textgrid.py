@@ -160,8 +160,15 @@ _SIZE = re.compile(r'intervals:\s*size\s*=\s*(\d+)')
 
 
 def _parse_tiers(path):
-    """Parse all interval tiers: name -> list of (xmin, xmax, text)."""
+    """Parse all interval tiers: name -> list of (xmin, xmax, text).
+
+    Supports both long-form and short-form ooTextFile TextGrids (Charsiu's
+    Common Voice alignments are short-form)."""
     text = Path(path).read_text(errors='replace')
+    if 'ooTextFile short' in text.splitlines()[0] or (
+            'IntervalTier' in text and 'item [' not in text
+            and 'item[' not in text):
+        return _parse_short_tiers(text)
     tiers = {}
     # Split on tier items
     chunks = re.split(r'item\s*\[\d+\]\s*:', text)
@@ -179,6 +186,42 @@ def _parse_tiers(path):
             intervals.append(
                 (float(m.group(1)), float(m.group(2)), m.group(3)))
         tiers[name] = intervals
+    return tiers
+
+
+def _parse_short_tiers(text):
+    """Parse short-form TextGrid: a flat token stream of values."""
+    # Tokens: every non-blank line is one value
+    lines = [line.strip() for line in text.splitlines()]
+    lines = [line for line in lines if line]
+    # Skip the 2-line header, global xmin/xmax, <exists>, tier count
+    idx = 2
+    values = lines[idx:]
+
+    def unquote(s):
+        return s[1:-1] if len(s) >= 2 and s[0] == '"' and s[-1] == '"' \
+            else s
+
+    # global xmin, xmax
+    pos = 2
+    if values[pos].startswith('<'):
+        pos += 1            # <exists>
+    num_tiers = int(values[pos]); pos += 1
+
+    tiers = {}
+    for _ in range(num_tiers):
+        tier_class = unquote(values[pos]); pos += 1
+        name = unquote(values[pos]); pos += 1
+        pos += 2            # tier xmin, xmax
+        size = int(values[pos]); pos += 1
+        intervals = []
+        for _ in range(size):
+            xmin = float(values[pos]); pos += 1
+            xmax = float(values[pos]); pos += 1
+            label = unquote(values[pos]); pos += 1
+            intervals.append((xmin, xmax, label))
+        if tier_class == 'IntervalTier':
+            tiers[name] = intervals
     return tiers
 
 

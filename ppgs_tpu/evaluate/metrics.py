@@ -34,12 +34,18 @@ def init_state(num_classes: int = 40):
         'class_totals': z((num_classes,)),
         'class_counts': z((num_classes,)),
         'confusion': z((num_classes, num_classes)),
+        # Probability-mass confusion: row target, summed softmax probs
+        # (reference ConfusionMatrix, metrics.py:275-299)
+        'prob_confusion': z((num_classes, num_classes)),
+        # Weighted distance matrix: row weighted-argmax prediction,
+        # summed weighted probs (reference DistanceMatrix, :370-414)
+        'distance_matrix': z((num_classes, num_classes)),
     }
 
 
 @functools.partial(jax.jit, static_argnames=('class_weights_none',))
 def _update(state, logits, targets, similarity, class_weights,
-            class_weights_none=True):
+            distance_weights, class_weights_none=True):
     """Accumulate all metrics for one batch.
 
     logits: (B, C, T) raw model outputs; targets: (B, T) with -100 padding.
@@ -84,6 +90,18 @@ def _update(state, logits, targets, similarity, class_weights,
     probs = jax.nn.softmax(flat_logits, axis=-1)
     jsd = _jsd_sum(probs, target_onehot, valid, similarity)
 
+    # Probability-mass confusion (target row += probs)
+    masked_probs = probs * valid[:, None]
+    prob_confusion = target_onehot.T @ masked_probs
+
+    # Weighted distance matrix (weighted-argmax row += weighted probs);
+    # the reference always weights by the asset phoneme weights
+    weighted = probs * distance_weights[None, :]
+    weighted_pred = weighted.argmax(axis=-1)
+    pred_w_onehot = jax.nn.one_hot(weighted_pred, num_classes) \
+        * valid[:, None]
+    distance_matrix = pred_w_onehot.T @ (weighted * valid[:, None])
+
     return {
         'count': state['count'] + count,
         'true_positives': state['true_positives'] + true_positives,
@@ -93,6 +111,8 @@ def _update(state, logits, targets, similarity, class_weights,
         'class_totals': state['class_totals'] + class_totals,
         'class_counts': state['class_counts'] + class_counts,
         'confusion': state['confusion'] + confusion,
+        'prob_confusion': state['prob_confusion'] + prob_confusion,
+        'distance_matrix': state['distance_matrix'] + distance_matrix,
     }
 
 
@@ -125,6 +145,17 @@ class Metrics:
             self.class_weights = load_mod.phoneme_weights(self.config)
         else:
             self.class_weights = jnp.zeros((self.config.output_channels,))
+        # Distance-matrix weighting always uses the asset phoneme weights
+        try:
+            import numpy as _np
+
+            from .. import config as _config_mod
+
+            self.distance_weights = jnp.asarray(
+                _np.load(_config_mod.CLASS_WEIGHT_FILE)['weights'])
+        except (FileNotFoundError, OSError):
+            self.distance_weights = jnp.ones(
+                (self.config.output_channels,))
         self.reset()
 
     def reset(self):
@@ -134,7 +165,7 @@ class Metrics:
         self.state = _update(
             self.state, jnp.asarray(predicted_logits),
             jnp.asarray(target_indices), self.similarity,
-            self.class_weights,
+            self.class_weights, self.distance_weights,
             class_weights_none=not self.config.class_balanced)
 
     def __call__(self):
@@ -153,27 +184,57 @@ class Metrics:
             results[f'Total/{phoneme}'] = float(s['class_totals'][i])
             results[f'Count/{phoneme}'] = float(s['class_counts'][i])
         if self.include_figures:
-            results['confusion_matrix'] = self.confusion_figure(
-                np.asarray(s['confusion']))
+            results['ConfusionMatrix'] = self.confusion_figure(
+                np.asarray(s['prob_confusion']))
+            results['DistanceMatrix'] = self.distance_figure(
+                np.asarray(s['distance_matrix']))
         return results
 
     @staticmethod
     def confusion_figure(confusion):
-        """Render the confusion matrix as a matplotlib figure."""
+        """Probability-mass confusion figure (reference metrics.py:255-270)."""
         import matplotlib
 
         matplotlib.use('Agg')
         from matplotlib import pyplot as plt
 
         row_sums = confusion.sum(axis=1, keepdims=True)
-        normalized = confusion / np.maximum(row_sums, 1)
-        figure, axis = plt.subplots(figsize=(10, 10))
-        image = axis.imshow(normalized, cmap='viridis')
+        normalized = confusion / np.maximum(row_sums, 1e-12)
+        figure, axis = plt.subplots(figsize=(6, 6), dpi=200)
+        axis.matshow(normalized)
         axis.set_xticks(range(len(PHONEMES)))
         axis.set_yticks(range(len(PHONEMES)))
-        axis.set_xticklabels(PHONEMES, rotation=90, fontsize=6)
-        axis.set_yticklabels(PHONEMES, fontsize=6)
-        axis.set_xlabel('Predicted')
-        axis.set_ylabel('Target')
+        axis.set_xticklabels(PHONEMES, rotation='vertical', fontsize=5)
+        axis.set_yticklabels(PHONEMES, fontsize=5)
+        axis.set_ylabel('Ground Truth Phoneme')
+        axis.set_xlabel('Model Predicted Probabilities')
+        return figure
+
+    @staticmethod
+    def distance_figure(matrix):
+        """Weighted distance-matrix figure with PowerNorm render and
+        f/v, s/z, sh/zh highlight boxes (reference metrics.py:301-364)."""
+        import matplotlib
+
+        matplotlib.use('Agg')
+        from matplotlib.colors import PowerNorm
+        from matplotlib import pyplot as plt
+
+        row_sums = matrix.sum(axis=1, keepdims=True)
+        normalized = matrix / np.maximum(row_sums, 1e-12)
+        figure, axis = plt.subplots(figsize=(6, 6), dpi=200)
+        image = axis.matshow(normalized, norm=PowerNorm(gamma=1 / 3))
+        axis.set_xticks(range(len(PHONEMES)))
+        axis.set_yticks(range(len(PHONEMES)))
+        axis.set_xticklabels(PHONEMES, rotation='vertical', fontsize=5)
+        axis.set_yticklabels(PHONEMES, fontsize=5)
         figure.colorbar(image, ax=axis, fraction=0.046)
+
+        padding = 0.7
+        for phone0, phone1 in [('f', 'v'), ('s', 'z'), ('sh', 'zh')]:
+            idx0, idx1 = PHONEMES.index(phone0), PHONEMES.index(phone1)
+            for cx, cy in [(idx0, idx1), (idx1, idx0)]:
+                axis.add_patch(plt.Rectangle(
+                    (cx - padding, cy - padding), 2 * padding, 2 * padding,
+                    facecolor='none', edgecolor='red', linewidth=0.5))
         return figure

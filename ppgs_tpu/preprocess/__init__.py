@@ -1,4 +1,5 @@
-from . import mel, spectrogram, w2v2fb, w2v2fc, w2v2ft, encodec, dac
+from . import bottleneck, mel, spectrogram, w2v2fb, w2v2fc, w2v2ft
+from . import encodec, dac
 from .core import from_audio, from_audios, save_masked
 
 

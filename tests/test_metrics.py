@@ -113,9 +113,22 @@ def test_metrics_accumulate_over_batches():
         assert a[key] == pytest.approx(b[key], rel=1e-5)
 
 
-def test_confusion_figure():
+def test_figures():
     logits, targets = make_batch(seed=6)
     metrics = Metrics(include_figures=True)
     metrics.update(jnp.asarray(logits), jnp.asarray(targets))
     results = metrics()
-    assert 'confusion_matrix' in results
+    assert 'ConfusionMatrix' in results
+    assert 'DistanceMatrix' in results
+
+
+def test_prob_confusion_rows_sum_to_counts():
+    """Each target row of the probability confusion sums to its count."""
+    import jax
+
+    logits, targets = make_batch(seed=7)
+    metrics = Metrics()
+    metrics.update(jnp.asarray(logits), jnp.asarray(targets))
+    s = jax.device_get(metrics.state)
+    np.testing.assert_allclose(
+        s['prob_confusion'].sum(axis=1), s['class_counts'], rtol=1e-4)
