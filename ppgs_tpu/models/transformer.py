@@ -33,6 +33,18 @@ from ..ops.masking import mask_from_lengths
 ###############################################################################
 
 
+def _use_flash(d_head: int) -> bool:
+    """Flash kernel eligibility: TPU backend + MXU-aligned head dim."""
+    import os
+
+    if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
+        return False
+    try:
+        return jax.default_backend() == 'tpu' and d_head % 128 == 0
+    except RuntimeError:
+        return False
+
+
 def _xavier_uniform(rng, shape, dtype=jnp.float32):
     fan_in, fan_out = shape[-2], shape[-1]
     bound = math.sqrt(6.0 / (fan_in + fan_out))
@@ -108,10 +120,12 @@ def positional_encoding(max_len: int, channels: int):
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * scale + bias
+    # Statistics in fp32 regardless of activation dtype (bf16-safe)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
 
 
 def conv1d_same(x, weight, bias, precision=None):
@@ -119,7 +133,7 @@ def conv1d_same(x, weight, bias, precision=None):
     k = weight.shape[0]
     pad = ((k - 1) // 2, k // 2)
     out = jax.lax.conv_general_dilated(
-        x, weight,
+        x.astype(weight.dtype), weight,
         window_strides=(1,),
         padding=(pad,),
         dimension_numbers=('NHC', 'HIO', 'NHC'),
@@ -146,6 +160,29 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
     q = q.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
+
+    # Pallas flash-attention fast path (inference, non-causal, TPU).
+    # Only on the bf16 compute path: fp32 configs keep XLA's precise
+    # attention for strict reference parity.
+    if (dropout_rng is None and not causal
+            and compute_dtype == jnp.bfloat16 and _use_flash(d_head)):
+        from ..ops import flash_attention as fa
+
+        block = fa.DEFAULT_BLOCK_Q
+        pad_t = -(-T // block) * block
+        if pad_t != T:
+            widths = ((0, 0), (0, 0), (0, pad_t - T), (0, 0))
+            qp = jnp.pad(q, widths)
+            kp = jnp.pad(k, widths)
+            vp = jnp.pad(v, widths)
+            maskp = jnp.pad(key_mask, ((0, 0), (0, pad_t - T)))
+        else:
+            qp, kp, vp, maskp = q, k, v, key_mask
+        out = fa.flash_attention(qp, kp, vp, maskp)[:, :, :T]
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        out = (out.astype(compute_dtype) @ p['wo'].astype(compute_dtype)
+               + p['bo'].astype(compute_dtype))
+        return out.astype(x.dtype)
 
     scale = 1.0 / math.sqrt(d_head)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,

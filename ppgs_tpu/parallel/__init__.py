@@ -51,6 +51,51 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+###############################################################################
+# Tensor-parallel sharding rules (w2v2 frontend; SURVEY §2.b item 3)
+###############################################################################
+
+
+def w2v2_param_sharding(mesh: Mesh, params, axis: str = 'model'):
+    """NamedSharding pytree for w2v2 params: attention heads and FFN hidden
+    shard over the ``axis`` mesh dimension; norms/biases replicate.
+
+    With jit + these shardings XLA/GSPMD inserts the required collectives
+    (all-reduce after wo/w2 contractions) automatically; correctness is
+    preserved for any mesh size that divides the sharded dims.
+    """
+    def rule(path, leaf):
+        names = [str(getattr(p, 'key', getattr(p, 'idx', p)))
+                 for p in path]
+        joined = '.'.join(names)
+        ndim = leaf.ndim
+        # Column-parallel: shard output features
+        if any(k in joined for k in ['wq', 'wk', 'wv']):
+            return NamedSharding(mesh, P(None, axis))
+        if any(k in joined for k in ['bq', 'bk', 'bv']):
+            return NamedSharding(mesh, P(axis))
+        # Row-parallel: shard input features, replicate output
+        if 'wo' in joined:
+            return NamedSharding(mesh, P(axis, None))
+        # FFN
+        if joined.endswith('ffn.w1') or '.w1' in joined:
+            return NamedSharding(mesh, P(None, axis))
+        if joined.endswith('ffn.b1') or '.b1' in joined:
+            return NamedSharding(mesh, P(axis))
+        if joined.endswith('ffn.w2') or '.w2' in joined:
+            return NamedSharding(mesh, P(axis, None))
+        # Feature-encoder convs: shard output channels (K, I, O)
+        if 'feature_encoder' in joined and 'conv' in joined and ndim == 3:
+            return NamedSharding(mesh, P(None, None, axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, shardings):
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
 def pad_batch_to_multiple(arrays, batch_axis_size: int):
     """Pad the leading dim of every array to a multiple of the mesh size.
 

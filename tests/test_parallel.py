@@ -1,0 +1,82 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: TP-sharded w2v2,
+DP-sharded chunked inference, mesh helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ppgs_tpu
+from ppgs_tpu import parallel
+from ppgs_tpu.models import transformer, w2v2
+
+
+TINY_W2V2 = w2v2.W2V2Config(
+    conv_dim=(32, 32), conv_kernel=(10, 3), conv_stride=(5, 2),
+    hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96,
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+
+
+def test_make_mesh_shapes():
+    mesh = parallel.make_mesh(shape=(-1,), axis_names=('data',))
+    assert mesh.shape['data'] == 8
+    mesh2d = parallel.make_mesh(shape=(4, 2), axis_names=('data', 'model'))
+    assert mesh2d.shape == {'data': 4, 'model': 2}
+
+
+def test_w2v2_tensor_parallel_matches_single_device():
+    """TP over the 'model' axis must reproduce single-device outputs."""
+    params = w2v2.init(jax.random.PRNGKey(0), TINY_W2V2)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 800)).astype(np.float32)
+
+    ref = np.asarray(jax.jit(
+        lambda a: w2v2.forward(params, a, config=TINY_W2V2))(
+            jnp.asarray(audio)))
+
+    mesh = parallel.make_mesh(shape=(2, 4), axis_names=('data', 'model'))
+    shardings = parallel.w2v2_param_sharding(mesh, params)
+    params_tp = parallel.shard_params(params, shardings)
+    audio_tp = parallel.shard_batch(mesh, jnp.asarray(audio))
+
+    out = np.asarray(jax.jit(
+        lambda p, a: w2v2.forward(p, a, config=TINY_W2V2))(
+            params_tp, audio_tp))
+
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # Verify the intent: attention projections actually sharded over model
+    leaf = params_tp['encoder']['layers'][0]['attn']['wq']
+    spec = leaf.sharding.spec
+    assert 'model' in str(spec)
+
+
+def test_chunked_inference_data_parallel():
+    """Chunked long-context inference with the batch sharded over 'data'.
+
+    The fold-of-windows-into-batch formulation makes long-sequence
+    parallelism pure data parallelism (SURVEY §2.b item 4)."""
+    config = ppgs_tpu.Config(
+        num_hidden_layers=2, hidden_channels=64, ffn_channels=128,
+        chunk_length=64, chunk_overlap=8, compute_dtype='float32')
+    params = transformer.init(jax.random.PRNGKey(0), config)
+
+    rng = np.random.default_rng(1)
+    B, T = 8, 200
+    feats = rng.standard_normal((B, 80, T)).astype(np.float32)
+    lengths = np.full((B,), T, dtype=np.int64)
+
+    ref = np.asarray(jax.jit(
+        lambda f, l: transformer.chunked_forward(params, f, l, config))(
+            jnp.asarray(feats), jnp.asarray(lengths)))
+
+    mesh = parallel.make_mesh(shape=(8,), axis_names=('data',))
+    params_r = parallel.replicate(mesh, params)
+    feats_d, lengths_d = parallel.shard_batch(
+        mesh, (feats, lengths))
+    out = np.asarray(jax.jit(
+        lambda p, f, l: transformer.chunked_forward(p, f, l, config))(
+            params_r, feats_d, lengths_d))
+
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
