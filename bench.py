@@ -1,17 +1,20 @@
 """Benchmark: mel-PPG inference throughput on the real chip.
 
 Measures audio-seconds of speech processed per second per chip through the
-full flagship pipeline (log-mel frontend + 5-layer transformer with the
-Pallas fused-attention kernel + softmax), end to end on device in bf16.
-Prints ONE JSON line:
+full flagship pipeline (log-mel frontend + 5-layer transformer + softmax),
+end to end on device. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-is reported against the framework's own fp32/XLA-attention configuration
-(the faithful reference-equivalent numerics path).
+The reference publishes no throughput numbers (BASELINE.md): the baseline is
+parity-defined, so vs_baseline is 1.0 for the default reference-numerics
+path. Set PPGS_BENCH_FULL=1 to additionally measure the bf16 + Pallas
+fused-attention path and report best/baseline (adds a second multi-minute
+compile — in this environment device compiles ride a slow tunnel, so the
+default stays single-path for reliability).
 """
 
 import json
+import os
 import time
 
 
@@ -25,10 +28,9 @@ def main():
 
     config = ppgs_tpu.Config()
     params = transformer.init(jax.random.PRNGKey(0), config)
-    params_bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     # Workload: 64 utterances x 8 s audio @16 kHz, generated on device
-    # (host->device transfers ride a slow tunnel in this environment)
+    # (host->device transfers are slow in this environment)
     B, seconds = 64, 8
     S = seconds * config.sample_rate
     audio = jax.random.normal(
@@ -48,7 +50,7 @@ def main():
             return jax.nn.softmax(logits, axis=1)
         return pipeline
 
-    def timeit(fn, iters=20):
+    def timeit(fn, iters=15):
         fn(audio).block_until_ready()
         start = time.perf_counter()
         for _ in range(iters):
@@ -58,19 +60,20 @@ def main():
 
     audio_seconds = B * seconds
 
-    # Candidate paths: bf16 + Pallas fused attention, and the
-    # reference-numerics path (fp32 params, XLA attention)
-    fast = audio_seconds / timeit(make_pipeline(params_bf))
-
-    import os
-
+    # Reference-numerics path: fp32 params, XLA attention
     os.environ['PPGS_TPU_DISABLE_FLASH'] = '1'
     try:
         baseline = audio_seconds / timeit(make_pipeline(params))
     finally:
         del os.environ['PPGS_TPU_DISABLE_FLASH']
 
-    best = max(fast, baseline)
+    best = baseline
+    if os.environ.get('PPGS_BENCH_FULL'):
+        params_bf = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), params)
+        fast = audio_seconds / timeit(make_pipeline(params_bf))
+        best = max(best, fast)
+
     print(json.dumps({
         'metric': 'mel_ppg_inference_throughput',
         'value': round(best, 2),

@@ -157,11 +157,8 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
     k = (xc @ p['wk'].astype(compute_dtype)) + p['bk'].astype(compute_dtype)
     v = (xc @ p['wv'].astype(compute_dtype)) + p['bv'].astype(compute_dtype)
 
-    q = q.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
-
-    # Pallas flash-attention fast path (inference, non-causal, TPU).
+    # Pallas fused-attention fast path (inference, non-causal, TPU): runs
+    # directly on the (B, T, C) layout — no head transposes materialize.
     # Only on the bf16 compute path: fp32 configs keep XLA's precise
     # attention for strict reference parity.
     if (dropout_rng is None and not causal
@@ -171,21 +168,24 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
         block = fa.DEFAULT_BLOCK_Q
         pad_t = -(-T // block) * block
         if pad_t != T:
-            widths = ((0, 0), (0, 0), (0, pad_t - T), (0, 0))
-            qp = jnp.pad(q, widths)
-            kp = jnp.pad(k, widths)
-            vp = jnp.pad(v, widths)
+            widths = ((0, 0), (0, pad_t - T), (0, 0))
+            qp, kp, vp = (jnp.pad(a, widths) for a in (q, k, v))
             maskp = jnp.pad(key_mask, ((0, 0), (0, pad_t - T)))
         else:
             qp, kp, vp, maskp = q, k, v, key_mask
-        out = fa.flash_attention(qp, kp, vp, maskp)[:, :, :T]
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        out = fa.flash_attention(qp, kp, vp, maskp, heads)[:, :T]
         out = (out.astype(compute_dtype) @ p['wo'].astype(compute_dtype)
                + p['bo'].astype(compute_dtype))
         return out.astype(x.dtype)
 
+    # XLA path: einsums over the free (B, T, H, D) reshape — XLA folds the
+    # head dimension handling into the dot_generals
+    q4 = q.reshape(B, T, heads, d_head)
+    k4 = k.reshape(B, T, heads, d_head)
+    v4 = v.reshape(B, T, heads, d_head)
+
     scale = 1.0 / math.sqrt(d_head)
-    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q4, k4,
                         precision=precision).astype(jnp.float32) * scale
 
     mask = key_mask[:, None, None, :]            # (B, 1, 1, T)
@@ -206,9 +206,8 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
         keep = jax.random.bernoulli(dropout_rng, 1 - dropout, attn.shape)
         attn = jnp.where(keep, attn / (1 - dropout), 0.0)
 
-    out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(compute_dtype), v,
-                     precision=precision)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+    out = jnp.einsum('bhqk,bkhd->bqhd', attn.astype(compute_dtype), v4,
+                     precision=precision).reshape(B, T, C)
     out = (out @ p['wo'].astype(compute_dtype)) + p['bo'].astype(compute_dtype)
     return out.astype(x.dtype)
 

@@ -1,13 +1,21 @@
-"""Pallas flash attention for the PPG encoder (TPU).
+"""Pallas fused attention for the PPG encoder (TPU).
 
 The encoder's hot loop is self-attention over 500-frame chunks folded into a
-large batch (B*chunks, heads, T, d_head). A naive XLA attention materializes
-the (T x T) logits in HBM per (batch, head); this kernel keeps the online
-softmax in VMEM, streaming K/V blocks, so HBM traffic is O(T*d) instead of
-O(T^2) — the standard flash formulation tuned for T=512, d_head=128.
+large batch. Two TPU-first design points:
 
+1. **No layout transposes.** QKV stay in the model's native (B, T, C)
+   activation layout; each grid program slices its head's D=128 channels
+   directly via the BlockSpec index map (the head offset is a block index in
+   the C dimension). The (B,T,H,D) <-> (B,H,T,D) permutes that dominate a
+   naive attention at these sizes never materialize.
+2. **Whole sequence in VMEM.** At T<=1024, D=128 a head's Q/K/V (256 KB
+   each) fit comfortably in VMEM, so logits, masked softmax, and PV all run
+   on-chip with one DMA per operand: HBM traffic is O(T*D), not O(T^2).
+
+A blocked flash variant handles T>1024 (legacy unchunked long inputs).
 Forward-only: inference is the perf-critical path (training uses the XLA
-attention which autodiffs). Falls back to XLA off-TPU.
+attention, which autodiffs). Numerics: fp32 accumulation via
+preferred_element_type on the MXU.
 """
 
 import functools
@@ -25,10 +33,7 @@ NEG_INF = -1e30
 
 
 def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
-    """One (batch*head) program: the full T fits VMEM at our sizes
-    (T<=1024, D=128), so Q/K/V are loaded once and the whole attention
-    (logits, masked softmax, PV) runs on-chip — one K/V DMA per head
-    instead of one per (head, q-block)."""
+    """One (batch, head) program; refs are (1, T, D) head slices."""
     q = q_ref[0].astype(jnp.float32) * sm_scale       # (T, D)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -49,14 +54,9 @@ def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
 
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
                   *, block_k, sm_scale, kv_len):
-    """One (batch*head, q_block) program: online softmax over K/V blocks.
-
-    mask_ref: (1, 1, kv_len) int32, 1 = valid key (shared across heads of
-    one batch element via index_map).
-    """
-    q = q_ref[0].astype(jnp.float32) * sm_scale          # (BQ, D)
-    bq = q.shape[0]
-    d = q.shape[1]
+    """One (batch, head, q_block) program: online softmax over K/V blocks."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale       # (BQ, D)
+    bq, d = q.shape
 
     acc = jnp.zeros((bq, d), dtype=jnp.float32)
     row_max = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
@@ -68,11 +68,11 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
         acc, row_max, row_sum = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        mask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]  # (BK,)
+        mask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (BQ, BK)
+            preferred_element_type=jnp.float32)
         logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
 
         new_max = jnp.maximum(row_max, logits.max(axis=-1, keepdims=True))
@@ -92,71 +92,71 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
     o_ref[0] = (acc / jnp.maximum(row_sum, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('block_q', 'block_k', 'interpret'))
-def flash_attention(q, k, v, mask, block_q=DEFAULT_BLOCK_Q,
-                    block_k=DEFAULT_BLOCK_K, interpret=False):
-    """Masked (non-causal) flash attention.
+@functools.partial(
+    jax.jit,
+    static_argnames=('num_heads', 'block_q', 'block_k', 'interpret'))
+def flash_attention(q, k, v, mask, num_heads,
+                    block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
+                    interpret=False):
+    """Masked (non-causal) multi-head attention, channels-packed layout.
 
-    q, k, v: (B, H, T, D); mask: (B, T) bool, True = valid key.
-    Fully-masked query rows return zeros (matches the encoder's safe
-    softmax). T must be padded to a multiple of the block sizes by the
-    caller (masked positions contribute nothing).
+    q, k, v: (B, T, C) with C = num_heads * d_head (the model's native
+    activation layout); mask: (B, T) bool, True = valid key. Returns
+    (B, T, C). Fully-masked query rows return zeros. T must be a multiple
+    of the block sizes (pad + mask at the call site).
     """
-    B, H, T, D = q.shape
+    B, T, C = q.shape
+    D = C // num_heads
+    assert C % num_heads == 0
     assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(D)
 
-    qf = q.reshape(B * H, T, D)
-    kf = k.reshape(B * H, T, D)
-    vf = v.reshape(B * H, T, D)
     mask_i = mask.astype(jnp.int32)[:, None, :]       # (B, 1, T)
 
+    # Head h occupies channels [h*D, (h+1)*D): BlockSpec block index h in
+    # the C dimension slices it with no transpose.
     if T <= 1024:
-        # Whole-sequence-in-VMEM variant: minimal DMA traffic
         out = pl.pallas_call(
             functools.partial(_fused_kernel, sm_scale=sm_scale),
-            grid=(B * H,),
+            grid=(B, num_heads),
             in_specs=[
-                pl.BlockSpec((1, 1, T), lambda b: (b // H, 0, 0),
+                pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, T, D), lambda b, h: (b, 0, h),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, T, D), lambda b, h: (b, 0, h),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, T, D), lambda b, h: (b, 0, h),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+            out_specs=pl.BlockSpec((1, T, D), lambda b, h: (b, 0, h),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, T, C), q.dtype),
             interpret=interpret,
-        )(mask_i, qf, kf, vf)
-        return out.reshape(B, H, T, D)
+        )(mask_i, q, k, v)
+        return out
 
-    grid = (B * H, T // block_q)
-
+    grid = (B, num_heads, T // block_q)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k,
                           sm_scale=sm_scale, kv_len=T),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, T), lambda b, i: (b // H, 0, 0),
+            pl.BlockSpec((1, 1, T), lambda b, h, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, D), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, h, i: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, h, i: (b, 0, h),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, h, i: (b, i, h),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), q.dtype),
         interpret=interpret,
-    )(mask_i, qf, kf, vf)
-
-    return out.reshape(B, H, T, D)
+    )(mask_i, q, k, v)
+    return out
 
 
 def supported():

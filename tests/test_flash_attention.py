@@ -29,9 +29,13 @@ def test_flash_matches_reference(T):
     mask = np.ones((B, T), bool)
     mask[1, T - 50:] = False
 
+    def pack(a):  # (B, H, T, D) -> (B, T, H*D)
+        return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(B, T, H * D))
+
     out = np.asarray(flash_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        pack(q), pack(k), pack(v), jnp.asarray(mask), num_heads=H,
         interpret=True))
+    out = out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     ref = reference_attention(q, k, v, mask)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
@@ -44,9 +48,13 @@ def test_fully_masked_rows_are_zero():
     mask = np.ones((B, T), bool)
     mask[0] = False            # element 0 fully masked
 
+    def pack(a):
+        return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(B, T, H * D))
+
     out = np.asarray(flash_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        pack(q), pack(k), pack(v), jnp.asarray(mask), num_heads=H,
         interpret=True))
+    out = out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     assert np.abs(out[0]).max() == 0.0
     ref = reference_attention(q[1:], k[1:], v[1:], mask[1:])
     np.testing.assert_allclose(out[1:], ref, rtol=1e-4, atol=1e-5)
