@@ -66,15 +66,50 @@ def resample(audio, sample_rate, target_rate=16000):
 
 
 def load(file, target_rate=16000):
-    """Load audio from disk as (1, samples) float32 at target_rate."""
+    """Load audio from disk as (1, samples) float32 at target_rate.
+
+    WAV decoding uses the native C++ runtime when available
+    (ppgs_tpu/native); falls back to the pure-Python reader."""
     path = Path(file)
     if path.suffix.lower() == '.mp3':
         audio, rate = load_mp3(path)
     else:
-        audio, rate = load_wav(path)
+        from .. import native
+
+        result = native.wav_read(path) if native.available() else None
+        if result is not None:
+            samples, rate = result
+            audio = samples[None]
+        else:
+            audio, rate = load_wav(path)
     # Mix down to mono (first channel, matching torchaudio's layout use)
     audio = audio[:1]
     return resample(audio, rate, target_rate)
+
+
+def load_batch(files, target_rate=16000, num_threads=0):
+    """Decode many WAVs concurrently (native, GIL-free) into a padded
+    (B, max_samples) arena; returns (arena, lengths). Python fallback."""
+    from .. import native
+
+    if native.available():
+        infos = [native.wav_info(f) for f in files]
+        if all(i is not None for i in infos):
+            rates = {i[1] for i in infos}
+            max_samples = max(i[0] for i in infos)
+            arena, lengths, _ = native.wav_read_batch(
+                files, max_samples, num_threads)
+            if (lengths >= 0).all() and rates == {target_rate}:
+                return arena[:, None, :], lengths
+    # Fallback: sequential python decode
+    audios = [load(f, target_rate) for f in files]
+    max_samples = max(a.shape[-1] for a in audios)
+    arena = np.zeros((len(audios), 1, max_samples), dtype=np.float32)
+    lengths = np.zeros(len(audios), dtype=np.int64)
+    for i, a in enumerate(audios):
+        arena[i, 0, :a.shape[-1]] = a[0]
+        lengths[i] = a.shape[-1]
+    return arena, lengths
 
 
 def save_wav(path, audio, sample_rate=16000):
