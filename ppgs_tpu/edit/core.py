@@ -69,8 +69,8 @@ def regex_find(ppg: jax.Array, find_phonemes: List[str]):
     spans, inverse = _find_spans(indices, source_indices)
     results = []
     for start, end in spans:
-        frame_start = int(np.argwhere(inverse == start)[0])
-        frame_end = int(np.argwhere(inverse == end - 1)[-1]) + 1
+        frame_start = int(np.argwhere(inverse == start)[0, 0])
+        frame_end = int(np.argwhere(inverse == end - 1)[-1, 0]) + 1
         results.append([frame_start, frame_end])
     return results
 
