@@ -6,10 +6,12 @@ end to end on device. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no throughput numbers (BASELINE.md): the baseline is
-parity-defined, so vs_baseline is 1.0 for the default reference-numerics
-path. Set PPGS_BENCH_FULL=1 to additionally measure the bf16 + Pallas
-fused-attention path and report best/baseline (adds a second multi-minute
-compile — in this environment device compiles ride a slow tunnel, so the
+parity-defined, so vs_baseline defaults to 1.0. The measured path is the
+default config path (bf16 compute + Pallas whole-layer encoder kernels) —
+what ppgs_tpu.from_audio actually runs; parity is enforced by tests/. Set
+PPGS_BENCH_FULL=1 to also measure the XLA-only reference-numerics path and
+report the speedup over it in vs_baseline (adds a second multi-minute
+compile — device compiles ride a slow tunnel in this environment, so the
 default stays single-path for reliability).
 """
 
@@ -60,25 +62,28 @@ def main():
 
     audio_seconds = B * seconds
 
-    # Reference-numerics path: fp32 params, XLA attention
-    os.environ['PPGS_TPU_DISABLE_FLASH'] = '1'
-    try:
-        baseline = audio_seconds / timeit(make_pipeline(params))
-    finally:
-        del os.environ['PPGS_TPU_DISABLE_FLASH']
+    # Default path: the default config (bf16 compute + Pallas whole-layer
+    # kernels), i.e. exactly what ppgs_tpu.from_audio runs. Parity with the
+    # reference numerics is enforced by tests/, not by the benchmark.
+    value = audio_seconds / timeit(make_pipeline(params))
 
-    best = baseline
+    vs_baseline = 1.0
     if os.environ.get('PPGS_BENCH_FULL'):
-        params_bf = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16), params)
-        fast = audio_seconds / timeit(make_pipeline(params_bf))
-        best = max(best, fast)
+        # Additionally measure the XLA-only reference-numerics path
+        # (Pallas kernels disabled) and report the speedup over it.
+        # Adds a second multi-minute compile over the tunnel.
+        os.environ['PPGS_TPU_DISABLE_FLASH'] = '1'
+        try:
+            xla_only = audio_seconds / timeit(make_pipeline(params))
+        finally:
+            del os.environ['PPGS_TPU_DISABLE_FLASH']
+        vs_baseline = value / xla_only
 
     print(json.dumps({
         'metric': 'mel_ppg_inference_throughput',
-        'value': round(best, 2),
+        'value': round(value, 2),
         'unit': 'audio_seconds_per_second_per_chip',
-        'vs_baseline': round(best / baseline, 3),
+        'vs_baseline': round(vs_baseline, 3),
     }))
 
 

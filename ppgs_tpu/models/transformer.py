@@ -33,16 +33,37 @@ from ..ops.masking import mask_from_lengths
 ###############################################################################
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except RuntimeError:
+        return False
+
+
 def _use_flash(d_head: int) -> bool:
     """Flash kernel eligibility: TPU backend + MXU-aligned head dim."""
     import os
 
     if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
         return False
-    try:
-        return jax.default_backend() == 'tpu' and d_head % 128 == 0
-    except RuntimeError:
+    return _on_tpu() and d_head % 128 == 0
+
+
+def _elk():
+    from ..ops import encoder_layer_kernel
+    return encoder_layer_kernel
+
+
+def _use_fused_ffn(m: int, c: int, f: int) -> bool:
+    """Fused FFN kernel eligibility: TPU + MXU-aligned, M on block bounds."""
+    import os
+
+    from ..ops import fused_ffn
+
+    if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
         return False
+    return (_on_tpu() and m % fused_ffn.DEFAULT_BLOCK_M == 0
+            and c % 128 == 0 and f % 128 == 0)
 
 
 def _xavier_uniform(rng, shape, dtype=jnp.float32):
@@ -227,6 +248,22 @@ def _encoder_layer(x, layer, key_mask, causal, heads, rngs, dropout,
     sa = _dropout(sa, rngs[1], dropout)
     x = _layer_norm(x + sa, layer['norm1']['scale'], layer['norm1']['bias'])
 
+    # Pallas fused FFN + residual + LN (inference, bf16): keeps the 8x-wider
+    # hidden activation in VMEM instead of round-tripping it through HBM
+    B, T, C = x.shape
+    F = layer['ffn']['w1'].shape[-1]
+    if (rngs[2] is None and compute_dtype == jnp.bfloat16
+            and _use_fused_ffn(B * T, C, F)):
+        from ..ops import fused_ffn
+
+        return fused_ffn.ffn_residual_layernorm(
+            x,
+            layer['ffn']['w1'].astype(compute_dtype),
+            layer['ffn']['b1'],
+            layer['ffn']['w2'].astype(compute_dtype),
+            layer['ffn']['b2'],
+            layer['norm2']['scale'], layer['norm2']['bias'])
+
     xc = x.astype(compute_dtype)
     h = jax.nn.relu(
         xc @ layer['ffn']['w1'].astype(compute_dtype)
@@ -288,13 +325,41 @@ def forward(
         rngs = [None] * n_rngs
     x = _dropout(x, rngs[0], config.dropout if train else 0.0)
 
-    # Encoder stack
+    # When the Pallas attention path applies, pad T to its block multiple
+    # ONCE here instead of per layer (padded frames are masked-out keys and
+    # are sliced off after the stack, so valid positions are untouched;
+    # hoisting removes 4 pads x num_layers of HBM traffic).
+    d_head = config.hidden_channels // config.attention_heads
+    flash = (rngs[0] is None and not config.is_causal
+             and compute_dtype == jnp.bfloat16 and _use_flash(d_head))
+    stack_mask = mask
+    if flash:
+        from ..ops import flash_attention as fa
+
+        padded_t = -(-T // fa.DEFAULT_BLOCK_Q) * fa.DEFAULT_BLOCK_Q
+        if padded_t != T:
+            x = jnp.pad(x, ((0, 0), (0, padded_t - T), (0, 0)))
+            stack_mask = jnp.pad(mask, ((0, 0), (0, padded_t - T)))
+
+    # Encoder stack. On the Pallas path each layer runs as ONE kernel
+    # (ops/encoder_layer_kernel.py): QKV/attention/out-proj/FFN/LNs stay in
+    # VMEM per chunk window instead of round-tripping HBM between ops.
+    whole_layer = (flash and x.shape[1] % 8 == 0
+                   and x.shape[1] <= _elk().MAX_SEQ)
     for i, layer in enumerate(params['layers']):
         layer_rngs = rngs[1 + 4 * i: 1 + 4 * (i + 1)]
-        x = _encoder_layer(
-            x, layer, mask, config.is_causal, config.attention_heads,
-            layer_rngs, config.dropout if train else 0.0,
-            compute_dtype, precision)
+        if whole_layer:
+            x = _elk().encoder_layer(
+                x, stack_mask, layer['attn'], layer['norm1'],
+                layer['ffn'], layer['norm2'], config.attention_heads,
+                compute_dtype=compute_dtype)
+        else:
+            x = _encoder_layer(
+                x, layer, stack_mask, config.is_causal,
+                config.attention_heads, layer_rngs,
+                config.dropout if train else 0.0, compute_dtype, precision)
+    if x.shape[1] != T:
+        x = x[:, :T]
 
     # Physical truncation mask (see docstring)
     if phys_lengths is not None:

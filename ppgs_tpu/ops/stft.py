@@ -45,6 +45,29 @@ def mel_basis(sample_rate: int, num_fft: int, num_mels: int):
     return filterbank.mel_filterbank(sample_rate, num_fft, num_mels)
 
 
+@functools.lru_cache(maxsize=4)
+def blocked_dft_kernel(num_fft: int, window_size: int, hopsize: int):
+    """DFT basis re-blocked for a hop-strided conv, shape (J, hop, 2F).
+
+    A direct framed STFT is a conv with C_in=1, kernel=num_fft, stride=hop —
+    a shape the TPU conv emitter handles at ~1/10 of MXU speed (measured:
+    the 1026x1x1024 stride-160 conv ran at ~14 TFLOP/s). Re-blocking the
+    audio into non-overlapping hop-sized channels turns the same GEMM into a
+    conv with C_in=hop, kernel=J=ceil(num_fft/hop), stride=1 — a standard
+    conv-layer shape that tiles perfectly onto the systolic array. Window
+    sample n = j*hop + c maps to kernel tap j, channel c; columns past
+    num_fft are zero so the math is bit-comparable (same products, K-dim
+    summed in a different order).
+    """
+    basis = dft_basis(num_fft, window_size)            # (2F, num_fft)
+    taps = -(-num_fft // hopsize)
+    padded = np.zeros((basis.shape[0], taps * hopsize), np.float32)
+    padded[:, :num_fft] = basis
+    # (2F, J*hop) -> (2F, J, hop) -> (J, hop, 2F)  ['HIO' kernel layout]
+    return np.ascontiguousarray(
+        padded.reshape(basis.shape[0], taps, hopsize).transpose(1, 2, 0))
+
+
 ###############################################################################
 # Spectrogram
 ###############################################################################
@@ -72,15 +95,31 @@ def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
     Matches reference: reflect pad (num_fft - hop)//2, center=False STFT,
     magnitude sqrt(re^2 + im^2 + 1e-6).
     """
-    audio = reflect_pad_audio(audio.astype(jnp.float32), num_fft, hopsize)
-    basis = dft_basis(num_fft, window_size)            # (2F, num_fft)
-    # Strided conv: batch (B), feature (1), spatial (S). Filters (2F, 1, num_fft).
+    audio = audio.astype(jnp.float32)
+    B, _, S = audio.shape
+    size = (num_fft - hopsize) // 2
+    P = S + 2 * size
+    T = (P - num_fft) // hopsize + 1
+    kernel = blocked_dft_kernel(num_fft, window_size, hopsize)  # (J, hop, 2F)
+    taps = kernel.shape[0]
+    # Re-block samples into hop-sized channels: frame t tap j channel c reads
+    # sample (t+j)*hop + c. The reflect padding and the right edge (pad/trim
+    # to exactly (T+J-1)*hop samples; basis columns >= num_fft are zero, so
+    # zero padding is exact) assemble in ONE concatenate — sequential
+    # jnp.pads materialize a full copy each.
+    need = (T + taps - 1) * hopsize
+    x = audio[:, 0]
+    pieces = [x[:, 1:size + 1][:, ::-1], x, x[:, -size - 1:-1][:, ::-1]]
+    if need > P:
+        pieces.append(jnp.zeros((B, need - P), x.dtype))
+    blocks = jnp.concatenate(pieces, axis=1)[:, :need]
+    blocks = blocks.reshape(B, T + taps - 1, hopsize)   # (B, N_hops, hop)
     out = jax.lax.conv_general_dilated(
-        audio,
-        basis[:, None, :],
-        window_strides=(hopsize,),
+        blocks,
+        kernel,
+        window_strides=(1,),
         padding='VALID',
-        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        dimension_numbers=('NHC', 'HIO', 'NCH'),
         precision=jax.lax.Precision(precision),
     )                                                   # (B, 2F, T)
     n_freqs = num_fft // 2 + 1
