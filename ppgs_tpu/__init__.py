@@ -26,6 +26,7 @@ from . import load
 from . import preprocess
 from .core import (
     from_audio,
+    from_dataloader,
     from_features,
     from_file,
     from_file_to_file,
@@ -34,5 +35,10 @@ from .core import (
     resample,
     representation_file_extension,
 )
+from . import data
+from . import evaluate
+from . import partition
+from . import plot
+from .train import loss
 
 __version__ = '0.1.0'

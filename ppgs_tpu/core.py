@@ -48,6 +48,14 @@ def _get_model(representation, checkpoint, config):
 @functools.partial(jax.jit, static_argnames=('config', 'softmax', 'chunked'))
 def _forward_jit(params, features, lengths, phys_lengths, config, softmax,
                  chunked):
+    # Frames past the physical extent (phys_lengths) don't exist in the
+    # reference's batched tensors (its convs zero-pad there); our
+    # compile-cache padding must not leak frontend junk (e.g. log-mel of
+    # zero audio = log(1e-5)) into the input conv's receptive field.
+    # Traced, so no recompilation per length.
+    t = features.shape[-1]
+    keep = jnp.arange(t) < phys_lengths
+    features = features * keep.astype(features.dtype)[None, None, :]
     if config.model == 'transformer':
         if chunked:
             logits = transformer_model.chunked_forward(
@@ -79,10 +87,17 @@ def infer(
     softmax: bool = True,
     legacy_mode: bool = False,
     config=None,
+    extent: int = None,
 ):
     """Model inference on (B, C, T) features (reference ppgs/core.py:551-598).
 
     Returns (B, num_phonemes, T) posteriorgrams (or logits if softmax=False).
+
+    ``extent``: the physical frame extent of the equivalent reference tensor
+    (batch-max frame length). When the caller has padded T beyond it for
+    compile-cache reuse, frames in [extent, T) are masked to zero before the
+    input conv — in the reference they don't exist and the conv zero-pads
+    there. Defaults to T (features not padded past the true extent).
     """
     base_config = config_mod.get(config)
     if base_config.representation_kind == 'latents':
@@ -93,25 +108,25 @@ def infer(
     features = jnp.asarray(features)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     B, C, T = features.shape
+    phys = jnp.asarray(T if extent is None else int(extent), jnp.int32)
 
     if config.model != 'transformer':
         # Raw-audio models (Wav2Vec2.0 / W2V2FC) and the convolution
         # baseline take inputs as-is; no frame bucketing or chunking
-        return _forward_jit(params, features, lengths,
-                            jnp.asarray(T, jnp.int32), config, softmax,
+        return _forward_jit(params, features, lengths, phys, config, softmax,
                             False)
 
     stride = config.chunk_length - 2 * config.chunk_overlap
     chunked = (not legacy_mode) and T > config.chunk_length
 
-    # Pad time to a bucket boundary for compile reuse; the true length T is
+    # Pad time to a bucket boundary for compile reuse; the true extent is
     # passed through (traced) so truncation-boundary parity is preserved
     padded_t = T if legacy_mode else _bucket_frames(T, stride)
     if padded_t > T:
         features = jnp.pad(features, ((0, 0), (0, 0), (0, padded_t - T)))
 
-    out = _forward_jit(params, features, lengths,
-                       jnp.asarray(T, jnp.int32), config, softmax, chunked)
+    out = _forward_jit(params, features, lengths, phys, config, softmax,
+                       chunked)
     return out[..., :T]
 
 
@@ -157,6 +172,7 @@ def from_features(
     softmax: bool = True,
     legacy_mode: bool = False,
     config=None,
+    extent: int = None,
 ):
     """Infer PPGs from input features (B, C, T)."""
     config = config_mod.get(config)
@@ -168,7 +184,8 @@ def from_features(
         checkpoint=checkpoint,
         softmax=softmax,
         legacy_mode=legacy_mode,
-        config=config)
+        config=config,
+        extent=extent)
 
 
 def from_file(
@@ -205,29 +222,93 @@ def from_files_to_files(
     representation: str = None,
     checkpoint=None,
     num_workers: int = 0,
+    max_frames: int = None,
     legacy_mode: bool = False,
     config=None,
 ):
-    """Batched file-to-file inference with async saving."""
+    """Batched file-to-file inference with async saving
+    (reference ppgs/core.py:207-272)."""
     config = config_mod.get(config)
     representation = representation or config.representation
 
+    # Single-threaded: file at a time
     if num_workers == 0:
         for audio_file, output_file in zip(audio_files, output_files):
             from_file_to_file(audio_file, output_file, representation,
                               checkpoint, legacy_mode, config)
         return
 
-    save_pool = concurrent.futures.ThreadPoolExecutor(
-        max(1, num_workers // 2))
+    # Multi-threaded: frame-budget batches from the data loader; loading,
+    # device compute, and saving overlap (loader prefetch thread + save pool)
+    from .data import loader as data_loader
+
+    dataloader = data_loader(
+        [Path(f) for f in audio_files],
+        features=['audio', 'length', 'audio_file'],
+        num_workers=max(1, num_workers // 2),
+        max_frames=max_frames or config.max_inference_frames,
+        config=config)
+    # Duplicate audio paths fan out to all their outputs (the reference's
+    # filename-keyed dict silently collapses them)
+    mapping = {}
+    for audio_file, output_file in zip(audio_files, output_files):
+        mapping.setdefault(str(audio_file), []).append(output_file)
+    from_dataloader(
+        dataloader, mapping, representation=representation,
+        checkpoint=checkpoint, save_workers=max(1, num_workers // 2),
+        legacy_mode=legacy_mode, config=config)
+
+
+def from_dataloader(
+    dataloader,
+    output_files: Dict,
+    representation: str = None,
+    checkpoint=None,
+    save_workers: int = 1,
+    legacy_mode: bool = False,
+    config=None,
+):
+    """Infer PPGs for every batch of a dataloader yielding
+    (audio, length, audio_file) and save one .npy per utterance
+    (reference ppgs/core.py:280-391).
+
+    output_files maps audio filename -> output filename. Saves run on a
+    thread pool with backpressure (the reference uses spawn Pools; here the
+    device->host copy is the synchronization point, so threads suffice —
+    np.save releases the GIL during I/O).
+    """
+    config = config_mod.get(config)
+    representation = representation or config.representation
+
+    save_pool = concurrent.futures.ThreadPoolExecutor(max(1, save_workers))
     pending = []
     try:
-        for audio_file, output_file in zip(audio_files, output_files):
-            result = from_file(audio_file, representation, checkpoint,
-                               legacy_mode, config)
-            host = jax.device_get(result)
-            pending.append(save_pool.submit(np.save, output_file, host))
-            # Backpressure (reference: queue > 100)
+        for audios, lengths, batch_files in dataloader:
+            frame_lengths = np.asarray(lengths) // config.hopsize
+
+            # Frontend + model on device, one batch
+            features = preprocess.get(representation).from_audios(
+                jnp.asarray(np.asarray(audios)), np.asarray(lengths),
+                config=config)
+            feat_lengths = np.minimum(frame_lengths, features.shape[-1])
+            # Physical extent of the equivalent reference tensor: the mel of
+            # the batch-max-length audio (collate quantizes samples past it
+            # for compile reuse; those frames must not reach the input conv)
+            result = from_features(
+                features, feat_lengths, representation=representation,
+                checkpoint=checkpoint, legacy_mode=legacy_mode,
+                config=config, extent=int(np.max(feat_lengths)))
+
+            # Async masked saves (truncate padding) with backpressure
+            # (reference: queue > 100)
+            host = np.asarray(jax.device_get(result))
+            for i, audio_file in enumerate(batch_files):
+                outs = output_files[str(audio_file)]
+                if not isinstance(outs, (list, tuple)):
+                    outs = [outs]
+                for out in outs:
+                    pending.append(save_pool.submit(
+                        np.save, out, host[i, :, :int(feat_lengths[i])]))
             while len(pending) > 100:
                 pending = [f for f in pending if not f.done()]
         for f in pending:

@@ -89,11 +89,18 @@ def frame_count(num_samples, num_fft, hopsize):
 @functools.partial(jax.jit, static_argnames=('num_fft', 'hopsize',
                                              'window_size', 'precision'))
 def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
-                          precision='highest'):
+                          precision='highest', valid_samples=None):
     """Magnitude STFT of (B, 1, S) audio -> (B, n_freqs, T).
 
     Matches reference: reflect pad (num_fft - hop)//2, center=False STFT,
     magnitude sqrt(re^2 + im^2 + 1e-6).
+
+    ``valid_samples`` (traced scalar): the true signal end when S has been
+    right-padded past it for compile-cache reuse (collate quantization).
+    The end reflection is written at valid_samples instead of S, so the
+    longest batch item's final frames match the reference's batched STFT
+    (which reflects at the true batch max) exactly — a dynamic-update-slice
+    of (nfft-hop)/2 samples, shape-static, no recompilation per length.
     """
     audio = audio.astype(jnp.float32)
     B, _, S = audio.shape
@@ -109,7 +116,18 @@ def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
     # jnp.pads materialize a full copy each.
     need = (T + taps - 1) * hopsize
     x = audio[:, 0]
-    pieces = [x[:, 1:size + 1][:, ::-1], x, x[:, -size - 1:-1][:, ::-1]]
+    if valid_samples is None:
+        right = x[:, -size - 1:-1][:, ::-1]
+        pieces = [x[:, 1:size + 1][:, ::-1], x, right]
+    else:
+        vm = jnp.asarray(valid_samples, jnp.int32)
+        xe = jnp.concatenate([x, jnp.zeros((B, size), x.dtype)], axis=1)
+        # reflection: xe[vm + i] = x[vm - 2 - i], i in [0, size)
+        zero = jnp.zeros((), jnp.int32)
+        seg = jax.lax.dynamic_slice(
+            xe, (zero, vm - size - 1), (B, size))[:, ::-1]
+        xe = jax.lax.dynamic_update_slice(xe, seg, (zero, vm))
+        pieces = [x[:, 1:size + 1][:, ::-1], xe[:, :S + size]]
     if need > P:
         pieces.append(jnp.zeros((B, need - P), x.dtype))
     blocks = jnp.concatenate(pieces, axis=1)[:, :need]
@@ -133,7 +151,7 @@ def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
                                              'output_dtype'))
 def log_mel_spectrogram(audio, sample_rate=16000, num_fft=1024, hopsize=160,
                         window_size=1024, num_mels=80, precision='highest',
-                        output_dtype=jnp.float32):
+                        output_dtype=jnp.float32, valid_samples=None):
     """Log-mel spectrogram of (B, 1, S) audio -> (B, num_mels, T).
 
     Mel projection + dynamic range compression log(clamp(mel, 1e-5)) as in the
@@ -141,7 +159,8 @@ def log_mel_spectrogram(audio, sample_rate=16000, num_fft=1024, hopsize=160,
     matmul, and log all fuse inside one XLA computation.
     """
     spec = magnitude_spectrogram(
-        audio, num_fft, hopsize, window_size, precision)
+        audio, num_fft, hopsize, window_size, precision,
+        valid_samples=valid_samples)
     basis = mel_basis(sample_rate, num_fft, num_mels)   # (M, F)
     mel = jnp.einsum('mf,bft->bmt', basis, spec,
                      precision=jax.lax.Precision(precision))

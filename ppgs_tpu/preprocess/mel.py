@@ -19,6 +19,9 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
     """
     config = config_mod.get(config)
     audio = jnp.asarray(audio)
+    # True batch end: the end reflection lands there, not at the padded S
+    valid = (jnp.max(jnp.asarray(lengths)).astype(jnp.int32)
+             if lengths is not None else None)
     return stft_ops.log_mel_spectrogram(
         audio,
         sample_rate=config.sample_rate,
@@ -26,7 +29,8 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
         hopsize=config.hopsize,
         window_size=config.window_size,
         num_mels=config.num_mels,
-        output_dtype=output_dtype)
+        output_dtype=output_dtype,
+        valid_samples=valid)
 
 
 def from_audio(audio, sample_rate=None, config=None):

@@ -15,9 +15,11 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
     """(B, 1, S) audio -> (B, 513, T) magnitude spectrogram."""
     config = config_mod.get(config)
     audio = jnp.asarray(audio)
+    valid = (jnp.max(jnp.asarray(lengths)).astype(jnp.int32)
+             if lengths is not None else None)
     return stft_ops.magnitude_spectrogram(
-        audio, config.num_fft, config.hopsize,
-        config.window_size).astype(output_dtype)
+        audio, config.num_fft, config.hopsize, config.window_size,
+        valid_samples=valid).astype(output_dtype)
 
 
 def from_audio(audio, sample_rate=None, config=None):

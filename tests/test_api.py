@@ -123,5 +123,50 @@ def test_from_file_and_file_to_file(checkpoint, tmp_path):
         np.testing.assert_allclose(np.load(o), ppg, atol=2e-5)
 
 
+def test_from_files_to_files_variable_lengths(checkpoint, tmp_path):
+    """Batched dataloader inference: per-item masked truncation + parity
+    with an equivalently-batched torch reference (ppgs/core.py:280-391).
+
+    Note batched != per-file at the frame level by design (in the reference
+    too): zero-padded audio yields log(1e-5) mel frames past each item's
+    length, the input conv folds them into the last two valid frames, and
+    those frames are valid attention keys — so every frame shifts slightly.
+    Parity therefore must be checked against a batched torch pipeline.
+    """
+    from test_stft import torch_reference_mel
+
+    tm, path = checkpoint
+    rng = np.random.default_rng(3)
+    sample_counts = (16000, 8000, 24000)
+    audios = [(0.1 * rng.standard_normal((1, s))).astype(np.float32)
+              for s in sample_counts]
+    wavs = []
+    for i, audio in enumerate(audios):
+        wav = tmp_path / f'v{i}.wav'
+        audio_io.save_wav(wav, audio)
+        wavs.append(wav)
+
+    outs = [tmp_path / f'v{i}.npy' for i in range(3)]
+    ppgs_tpu.from_files_to_files(wavs, outs, checkpoint=path, num_workers=2)
+
+    # Batched torch reference: zero-pad audio to the batch max (as collate
+    # does), mel, forward with per-item lengths, truncate per item
+    max_s = max(sample_counts)
+    padded = np.zeros((3, 1, max_s), np.float32)
+    for i, audio in enumerate(audios):
+        padded[i, :, :audio.shape[-1]] = audio
+    mel = torch.from_numpy(torch_reference_mel(padded)).float()
+    lengths = torch.tensor([s // 160 for s in sample_counts])
+    with torch.no_grad():
+        ref = torch.softmax(tm(mel, lengths), dim=1).numpy()
+
+    for i, (out, samples) in enumerate(zip(outs, sample_counts)):
+        saved = np.load(out)
+        frames = samples // 160
+        assert saved.shape == (40, frames)
+        np.testing.assert_allclose(
+            saved, ref[i, :, :frames], atol=1e-3, rtol=1e-3)
+
+
 def test_representation_file_extension():
     assert ppgs_tpu.representation_file_extension() == '-ppg.npy'
