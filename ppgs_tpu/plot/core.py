@@ -91,18 +91,87 @@ def from_ppg_to_image_file(ppg, output_file, second_ppg=None,
         output_file)
 
 
-def from_ppg_to_video_file(ppg, audio_file, output_file, config=None):
-    """Scrolling-playhead video with audio (requires moviepy + cv2)."""
-    try:
-        import cv2  # noqa: F401
-        import moviepy  # noqa: F401
-    except ImportError as error:
-        raise ImportError(
-            'Video rendering requires the moviepy and opencv-python '
-            'packages') from error
-    raise NotImplementedError(
-        'Video rendering is pending; render an image with '
-        'from_ppg_to_image_file instead')
+def from_ppg_to_video_file(ppg, audio_file, output_file, second_ppg=None,
+                           textgrid_file=None, scalefactor=16, config=None):
+    """Scrolling-playhead PPG video (reference ppgs/plot/core.py:254-420).
+
+    Geometry matches the reference: a window of sample_rate/hopsize PPG
+    frames (1 s) scrolls by 2 frames per video frame at 50 fps (real time),
+    with the strip padded half a window each side so the red playhead column
+    stays centered over "now". Rendered with cv2 instead of moviepy; audio
+    is muxed with ffmpeg when a binary is on PATH, otherwise the video is
+    written silent with a warning.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    import warnings
+
+    import cv2
+
+    config = config_mod.get(config)
+    ppg = np.asarray(ppg)
+    frames = ppg.shape[-1]
+
+    window = config.sample_rate // config.hopsize          # 100 frames = 1 s
+    hop = 2
+    padding = window // 2 - hop // 2                       # playhead center
+    fps = window // hop                                    # real-time: 50
+
+    green = (_textgrid_to_onehot(textgrid_file, frames, config)
+             if textgrid_file is not None else None)
+    blue = (_ppg_to_pixels(second_ppg)
+            if second_ppg is not None else None)
+    strip = combine_pixels(_ppg_to_pixels(ppg), green, blue)   # (40, T, 3)
+    strip = np.pad(strip, ((0, 0), (padding, padding), (0, 0)))
+
+    rows = strip.shape[0]
+    height = (rows + 10) * scalefactor                     # +10px black bar
+    width = window * scalefactor
+
+    # Static overlays, rendered once: phoneme labels (right of playhead, as
+    # in the reference) and the red playhead column
+    from PIL import Image, ImageDraw
+
+    label_img = Image.new('L', (width, height), 0)
+    draw = ImageDraw.Draw(label_img)
+    for i, phoneme in enumerate(PHONEMES):
+        label = 'sil' if phoneme == SILENCE else phoneme
+        draw.text((width // 2, i * scalefactor), label, fill=255)
+    label_mask = np.asarray(label_img) > 0                 # (H, W)
+    playhead_x = width // 2 - scalefactor
+
+    video_only = Path(tempfile.mkdtemp()) / 'video.mp4'
+    writer = cv2.VideoWriter(
+        str(video_only), cv2.VideoWriter_fourcc(*'mp4v'), fps,
+        (width, height))
+    if not writer.isOpened():
+        raise RuntimeError('cv2.VideoWriter failed to open an mp4 encoder')
+    bar = np.zeros((10, window, 3), np.uint8)
+    for i in range(frames // hop):
+        chunk = strip[:, i * hop: i * hop + window]
+        frame = np.concatenate([chunk, bar], axis=0)
+        frame = cv2.resize(frame, (width, height),
+                           interpolation=cv2.INTER_NEAREST)
+        frame[:, playhead_x] = (255, 0, 0)
+        frame[label_mask] = (255, 255, 255)
+        writer.write(frame[..., ::-1])                     # RGB -> BGR
+    writer.release()
+
+    ffmpeg = shutil.which('ffmpeg')
+    if audio_file is not None and ffmpeg:
+        subprocess.run(
+            [ffmpeg, '-y', '-loglevel', 'error', '-i', str(video_only),
+             '-i', str(audio_file), '-c:v', 'copy', '-c:a', 'aac',
+             '-shortest', str(output_file)],
+            check=True)
+        video_only.unlink()
+    else:
+        if audio_file is not None:
+            warnings.warn(
+                'No ffmpeg binary found: writing the PPG video without the '
+                'audio track')
+        shutil.move(str(video_only), str(output_file))
 
 
 def from_file_to_file(
@@ -130,7 +199,8 @@ def from_file_to_file(
         from_ppg_to_image_file(ppg, output_file, second, textgrid_file,
                                config)
     elif ext == 'mp4':
-        from_ppg_to_video_file(ppg, audio_file, output_file, config)
+        from_ppg_to_video_file(ppg, audio_file, output_file, second,
+                               textgrid_file, config=config)
     else:
         raise ValueError(f'Unknown extension {ext}')
 

@@ -47,6 +47,43 @@ def test_ppg_image_with_textgrid(tmp_path):
     assert out.exists()
 
 
+def test_ppg_to_video(tmp_path):
+    cv2 = pytest.importorskip('cv2')
+
+    frames = 120
+    ppg = random_ppg(frames=frames)
+    out = tmp_path / 'ppg.mp4'
+    plot.from_ppg_to_video_file(ppg, None, out)
+    assert out.exists() and out.stat().st_size > 0
+
+    cap = cv2.VideoCapture(str(out))
+    # Real-time playback: hop 2 PPG frames per video frame at 50 fps
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == frames // 2
+    assert int(round(cap.get(cv2.CAP_PROP_FPS))) == 50
+    # 40 phoneme rows + 10px bar, 100-frame window, x16 scale
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 50 * 16
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 100 * 16
+    # Playhead column is red-dominant in every row (BGR; mp4 chroma
+    # subsampling desaturates the 1-px line, so test dominance not purity)
+    ok, frame = cap.read()
+    assert ok
+    x = 100 * 16 // 2 - 16
+    col = frame[:, x].astype(np.int32)
+    assert (col[:, 2] >= 100).all()
+    assert (col[:, 2] - col[:, 0] >= 60).all()
+    cap.release()
+
+
+def test_from_files_to_files_video(tmp_path):
+    pytest.importorskip('cv2')
+    ppg = random_ppg(frames=60)
+    src = tmp_path / 'in.npy'
+    np.save(src, ppg)
+    out = tmp_path / 'out.mp4'
+    plot.from_files_to_files([out], ppg_files=[src])
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_from_files_to_files(tmp_path):
     ppg = random_ppg()
     src = tmp_path / 'in.npy'
