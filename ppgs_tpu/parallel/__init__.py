@@ -113,3 +113,9 @@ def pad_batch_to_multiple(arrays, batch_axis_size: int):
         return np.pad(x, widths)
 
     return jax.tree.map(pad, arrays)
+
+
+from .context import (                                        # noqa: E402
+    context_parallel_chunked_forward,
+    pad_frames_for_context,
+)

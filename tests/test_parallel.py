@@ -1,6 +1,8 @@
 """Multi-device tests on the 8-device virtual CPU mesh: TP-sharded w2v2,
 DP-sharded chunked inference, mesh helpers."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -80,3 +82,61 @@ def test_chunked_inference_data_parallel():
             params_r, feats_d, lengths_d))
 
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_context_parallel_matches_single_device_chunked():
+    """Halo-exchange CP over 8 shards == single-device chunked forward,
+    including ragged per-item lengths and a T that needs padding."""
+    config = ppgs_tpu.Config(
+        num_hidden_layers=2, hidden_channels=32, attention_heads=2,
+        ffn_channels=64, max_len=64, chunk_length=48, chunk_overlap=8,
+        compute_dtype='float32')
+    stride = config.chunk_length - 2 * config.chunk_overlap   # 32
+
+    params = transformer.init(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(0)
+    T = 8 * stride - 17                                       # ragged tail
+    feats = rng.standard_normal((2, config.input_channels, T)) \
+        .astype(np.float32)
+    lengths = jnp.asarray([T, T - 40], jnp.int32)
+
+    ref = np.asarray(jax.jit(functools.partial(
+        transformer.chunked_forward, config=config))(
+            params, jnp.asarray(feats), lengths))
+
+    mesh = parallel.make_mesh(shape=(8,), axis_names=('seq',))
+    padded, true_frames = parallel.pad_frames_for_context(
+        jnp.asarray(feats), config, 8)
+    out = parallel.context_parallel_chunked_forward(
+        params, padded, lengths, config, mesh, axis='seq',
+        true_frames=true_frames)
+    out = np.asarray(out)[..., :T]
+
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_context_parallel_composes_with_data_parallel():
+    """2D DP x CP mesh: batch and sequence sharded simultaneously."""
+    config = ppgs_tpu.Config(
+        num_hidden_layers=1, hidden_channels=32, attention_heads=2,
+        ffn_channels=64, max_len=64, chunk_length=48, chunk_overlap=8,
+        compute_dtype='float32')
+    stride = config.chunk_length - 2 * config.chunk_overlap
+
+    params = transformer.init(jax.random.PRNGKey(1), config)
+    rng = np.random.default_rng(1)
+    T = 4 * stride
+    feats = rng.standard_normal((4, config.input_channels, T)) \
+        .astype(np.float32)
+    lengths = jnp.full((4,), T, jnp.int32)
+
+    ref = np.asarray(jax.jit(functools.partial(
+        transformer.chunked_forward, config=config))(
+            params, jnp.asarray(feats), lengths))
+
+    mesh = parallel.make_mesh(shape=(2, 4), axis_names=('data', 'seq'))
+    out = np.asarray(parallel.context_parallel_chunked_forward(
+        params, jnp.asarray(feats), lengths, config, mesh, axis='seq',
+        batch_axis='data'))
+
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
