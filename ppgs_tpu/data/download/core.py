@@ -12,8 +12,10 @@ import zipfile
 from pathlib import Path
 
 from ... import config as config_mod
+from ...utils import notify as _notify_mod
 
 
+@_notify_mod.notify("download")
 def datasets(names=None, format_only=False, config=None):
     """Download and/or format datasets into the cache."""
     from .. import datasets as datasets_mod

@@ -13,8 +13,10 @@ import numpy as np
 
 from .. import config as config_mod
 from .metrics import Metrics
+from ..utils import notify as _notify_mod
 
 
+@_notify_mod.notify("evaluate")
 def datasets(names=None, checkpoint=None, config=None, max_batches=None):
     """Evaluate on datasets' test partitions; returns the results dict."""
     from .. import from_features

@@ -1,6 +1,13 @@
 from . import bottleneck, mel, spectrogram, w2v2fb, w2v2fc, w2v2ft
 from . import encodec, dac
-from .core import from_audio, from_audios, save_masked
+from .core import (
+    datasets,
+    from_audio,
+    from_audios,
+    from_dataloader,
+    from_files_to_files,
+    save_masked,
+)
 
 
 def get(representation: str):

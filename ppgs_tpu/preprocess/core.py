@@ -12,6 +12,7 @@ from pathlib import Path
 import numpy as np
 
 from .. import config as config_mod
+from ..utils import notify as _notify_mod
 
 
 # Cache file dtype: the reference stores fp16 features (mel.py:19)
@@ -45,19 +46,33 @@ def from_audio(audio, sample_rate=None, representation=None, config=None):
     return frontend.from_audio(audio, sample_rate, config=config)
 
 
-def from_files_to_files(
-    audio_files,
+def _valid_length(representation, samples, hopsize):
+    """Valid trailing extent of a cached feature for one utterance: frames
+    for 100 Hz latents, padded samples for the raw-audio passthrough."""
+    if representation in ('w2v2ft', 'wav'):
+        from . import w2v2ft
+
+        return int(samples) + 2 * w2v2ft.PAD
+    return int(samples) // hopsize
+
+
+def from_dataloader(
+    dataloader,
     output_prefixes,
     representations=None,
-    config=None,
     save_workers=4,
+    config=None,
 ):
-    """Compute and cache representations for audio files.
+    """Batched representation caching (reference core.py:107-184).
 
-    output file naming matches the reference cache layout:
-    ``{prefix}-{representation}.npy``.
+    ``dataloader`` yields frame-budget (audio, lengths, audio_file) batches;
+    ``output_prefixes`` maps audio filename -> cache path prefix. Each
+    representation's frontend runs once per batch on device (one compiled
+    program); truncated fp16 saves stream to a thread pool with backpressure.
     """
-    from ..data import audio as audio_io
+    import jax
+    import jax.numpy as jnp
+
     from .. import preprocess
 
     config = config_mod.get(config)
@@ -66,17 +81,24 @@ def from_files_to_files(
 
     with concurrent.futures.ThreadPoolExecutor(save_workers) as pool:
         pending = []
-        for audio_file, prefix in zip(audio_files, output_prefixes):
-            audio = audio_io.load(audio_file)[None]          # (1, 1, S)
-            frames = audio.shape[-1] // config.hopsize
+        for audios, lengths, batch_files in dataloader:
+            lengths = np.asarray(lengths)
+            audios = jnp.asarray(np.asarray(audios))
             for representation in representations:
                 frontend = preprocess.get(representation)
                 features = frontend.from_audios(
-                    audio, np.array([audio.shape[-1]]), config=config)
-                out = Path(f'{prefix}-{representation}.npy')
-                pending.append(
-                    pool.submit(save_masked, np.asarray(features[0]),
-                                out, frames))
+                    audios, lengths, config=config)
+                host = np.asarray(jax.device_get(features))
+                for i, audio_file in enumerate(batch_files):
+                    out = Path(
+                        f'{output_prefixes[str(audio_file)]}'
+                        f'-{representation}.npy')
+                    valid = min(
+                        _valid_length(representation, lengths[i],
+                                      config.hopsize),
+                        host.shape[-1])
+                    pending.append(
+                        pool.submit(save_masked, host[i], out, valid))
             # Backpressure (reference: queue > 256 sleep loop)
             while len(pending) > 256:
                 pending = [f for f in pending if not f.done()]
@@ -84,25 +106,51 @@ def from_files_to_files(
             f.result()
 
 
-def datasets(names=None, representations=None, config=None, partition=None):
+def from_files_to_files(
+    audio_files,
+    output_prefixes,
+    representations=None,
+    config=None,
+    num_workers=2,
+    save_workers=4,
+):
+    """Compute and cache representations for audio files.
+
+    Output file naming matches the reference cache layout:
+    ``{prefix}-{representation}.npy``. Files batch together up to
+    ``config.max_preprocess_frames`` per forward (reference core.py:45-50).
+    """
+    from ..data import loader as data_loader
+
+    config = config_mod.get(config)
+    dataloader = data_loader(
+        [Path(f) for f in audio_files],
+        features=['audio', 'length', 'audio_file'],
+        num_workers=num_workers,
+        max_frames=config.max_preprocess_frames,
+        config=config)
+    prefixes = {str(f): str(p)
+                for f, p in zip(audio_files, output_prefixes)}
+    from_dataloader(dataloader, prefixes, representations,
+                    save_workers=save_workers, config=config)
+
+
+@_notify_mod.notify("preprocess")
+def datasets(names=None, representations=None, config=None, partition=None,
+             num_workers=2):
     """Preprocess datasets into the feature cache
     (reference: ppgs/preprocess/core.py:17-104)."""
     from ..data import Dataset
-    from .. import preprocess
 
     config = config_mod.get(config)
     names = names or list(config.datasets)
-    if representations is None:
-        representations = [config.representation]
 
     for name in names:
         dataset = Dataset(name, partition=partition,
                           features=['audio', 'length', 'audio_file'],
                           config=config)
         cache = dataset.cache
-        for index in range(len(dataset)):
-            audio, length, audio_file = dataset[index]
-            stem = dataset.stems[index]
-            from_files_to_files(
-                [audio_file], [cache / stem],
-                representations=representations, config=config)
+        files = list(dataset.audio_files)
+        prefixes = [cache / stem for stem in dataset.stems]
+        from_files_to_files(files, prefixes, representations,
+                            config=config, num_workers=num_workers)

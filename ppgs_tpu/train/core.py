@@ -22,6 +22,7 @@ from .. import load as load_mod
 from .. import models
 from .. import parallel
 from ..evaluate.metrics import Metrics
+from ..utils import notify as _notify_mod
 
 
 ###############################################################################
@@ -191,6 +192,7 @@ class ScalarWriter:
 ###############################################################################
 
 
+@_notify_mod.notify("train")
 def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
           loader_fn=None):
     """Train a model (reference ppgs/train/core.py:18-281).

@@ -173,3 +173,119 @@ def test_dataset_end_to_end(tmp_path, monkeypatch):
             assert (phonemes[i, l:] == -100).all()
         total += len(lengths)
     assert total == 3
+
+
+def test_preprocess_from_files_to_files_batched(tmp_path):
+    """Batched frame-budget caching: per-file truncation, fp16, and parity
+    with the frontend called on the same collated batch."""
+    import jax.numpy as jnp
+
+    from ppgs_tpu import preprocess
+    from ppgs_tpu.data.collate import quantize
+
+    rng = np.random.default_rng(0)
+    counts = (16000, 8000, 24000)
+    files, prefixes = [], []
+    for i, s in enumerate(counts):
+        wav = tmp_path / f'u{i}.wav'
+        audio_io.save_wav(
+            wav, (0.1 * rng.standard_normal((1, s))).astype(np.float32))
+        files.append(wav)
+        prefixes.append(tmp_path / f'u{i}')
+
+    preprocess.from_files_to_files(
+        files, prefixes, representations=['mel'], num_workers=2)
+
+    # Reference: the frontend on the equivalent collated batch
+    padded = np.zeros((3, 1, quantize(max(counts), 16000)), np.float32)
+    for i, s in enumerate(counts):
+        padded[i, 0, :s] = np.asarray(
+            audio_io.load(files[i], 16000))[0, :s]
+    batch_mel = np.asarray(preprocess.get('mel').from_audios(
+        jnp.asarray(padded), np.asarray(counts)))
+
+    for i, s in enumerate(counts):
+        cached = np.load(tmp_path / f'u{i}-mel.npy')
+        frames = s // 160
+        assert cached.dtype == np.float16
+        assert cached.shape == (80, frames)
+        np.testing.assert_allclose(
+            cached, batch_mel[i, :, :frames].astype(np.float16),
+            atol=2e-3, rtol=2e-3)
+
+
+def test_preprocess_datasets(tmp_path, monkeypatch):
+    """Dataset-wide caching writes {stem}-{representation}.npy to the
+    dataset cache dir."""
+    from ppgs_tpu import config as config_mod, preprocess
+
+    cache = tmp_path / 'cache' / 'tinyset'
+    cache.mkdir(parents=True)
+    partition_dir = tmp_path / 'partitions'
+    partition_dir.mkdir()
+    monkeypatch.setattr(config_mod, 'CACHE_DIR', tmp_path / 'cache')
+    monkeypatch.setattr(config_mod, 'PARTITION_DIR', partition_dir)
+
+    rng = np.random.default_rng(1)
+    stems = []
+    for i in range(3):
+        stem = f'utt{i:02d}'
+        samples = 8000 + 4000 * i
+        audio_io.save_wav(cache / f'{stem}.wav',
+                          (0.1 * rng.standard_normal((1, samples))).astype(
+                              np.float32))
+        stems.append(stem)
+    with open(partition_dir / 'tinyset.json', 'w') as f:
+        json.dump({'train': stems, 'valid': [], 'test': []}, f)
+
+    preprocess.datasets(['tinyset'], representations=['mel'],
+                        partition='train')
+    for i, stem in enumerate(stems):
+        cached = np.load(cache / f'{stem}-mel.npy')
+        assert cached.shape == (80, (8000 + 4000 * i) // 160)
+
+
+def test_notify_webhook(monkeypatch):
+    """notify decorator POSTs completion/failure messages to the env URL
+    and never raises on delivery failure."""
+    import http.server
+    import threading
+
+    from ppgs_tpu.utils import notify
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            received.append(
+                self.rfile.read(int(self.headers['Content-Length'])))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.HTTPServer(('127.0.0.1', 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f'http://127.0.0.1:{server.server_port}/'
+    monkeypatch.setenv(notify.ENV_VAR, url)
+
+    @notify.notify('job')
+    def ok():
+        return 42
+
+    @notify.notify('job')
+    def bad():
+        raise ValueError('boom')
+
+    assert ok() == 42
+    with pytest.raises(ValueError):
+        bad()
+    server.shutdown()
+    assert len(received) == 2
+    assert b'finished' in received[0] and b'failed' in received[1]
+
+    # Unset env -> silent no-op; unreachable URL -> never raises
+    monkeypatch.delenv(notify.ENV_VAR)
+    assert notify.send('x') is False
+    assert notify.send('x', url='http://127.0.0.1:1/') is False
