@@ -173,18 +173,41 @@ def _tree_to_opt_state(tree, optimizer, params_template):
 
 
 class ScalarWriter:
-    """Append scalars to metrics.jsonl; use tensorboard when available."""
+    """Training metrics sink: metrics.jsonl + tensorboard event files.
+
+    The reference logs per-step gradient statistics and eval metrics to
+    tensorboard via torchutil.tensorboard.update (ppgs/train/core.py:141-145,
+    354-365). Here every scalar is appended to a greppable metrics.jsonl and,
+    when torch.utils.tensorboard is importable, mirrored to event files in the
+    same run directory so standard tensorboard tooling works unchanged.
+    """
 
     def __init__(self, directory):
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.path = self.directory / 'metrics.jsonl'
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=str(self.directory))
+        except Exception:
+            pass
 
-    def update(self, step, scalars):
+    def update(self, step, scalars, figures=None):
         record = {'step': int(step), 'time': time.time()}
         record.update({k: float(v) for k, v in scalars.items()})
         with open(self.path, 'a') as file:
             file.write(json.dumps(record) + '\n')
+        if self._tb is not None:
+            for key, value in scalars.items():
+                self._tb.add_scalar(key, float(value), int(step))
+            for key, fig in (figures or {}).items():
+                self._tb.add_figure(key, fig, int(step))
+            self._tb.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
 
 
 ###############################################################################
@@ -291,6 +314,7 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
         pass
     finally:
         checkpoint_state(directory, step, epoch, params, opt_state)
+        writer.close()
 
     return params
 
