@@ -190,8 +190,14 @@ class ScalarWriter:
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir=str(self.directory))
-        except Exception:
-            pass
+        except ImportError:
+            pass  # torch/tensorboard not installed: metrics.jsonl only
+        except Exception as error:
+            import warnings
+            warnings.warn(
+                'tensorboard mirroring disabled: SummaryWriter failed '
+                f'({type(error).__name__}: {error}); metrics are still '
+                'written to metrics.jsonl')
 
     def update(self, step, scalars, figures=None):
         record = {'step': int(step), 'time': time.time()}
@@ -324,7 +330,7 @@ def evaluate_partition(writer, step, params, config, loader_fn, partition,
     """Eval pass writing metric scalars (reference train/core.py:288-365)."""
     forward = jax.jit(
         lambda p, f, l: models.get(config)[1](p, f, l, config))
-    metrics = Metrics(config=config)
+    metrics = Metrics(include_figures=True, config=config)
     for i, (features, targets, lengths) in enumerate(loader_fn(partition)):
         batch = parallel.pad_batch_to_multiple(
             (np.asarray(features), np.asarray(targets),
@@ -334,8 +340,17 @@ def evaluate_partition(writer, step, params, config, loader_fn, partition,
         metrics.update(logits, targets_d)
         if evaluation_steps is not None and i + 1 == evaluation_steps:
             break
+    results = metrics()
     scalars = {
-        f'{partition}/{k}': v for k, v in metrics().items()
+        f'{partition}/{k}': v for k, v in results.items()
         if isinstance(v, (int, float))}
-    writer.update(step, scalars)
+    # Confusion/distance-matrix figures go to tensorboard like the
+    # reference's matplotlib figure logging (ppgs/train/core.py:354-365)
+    figures = {
+        f'{partition}/{k}': v for k, v in results.items()
+        if not isinstance(v, (int, float))}
+    writer.update(step, scalars, figures)
+    for figure in figures.values():
+        import matplotlib.pyplot as plt
+        plt.close(figure)
     return scalars
