@@ -87,6 +87,7 @@ class Config:
     # TPU-specific parameters (no reference equivalent)
     compute_dtype: str = 'bfloat16'     # matmul dtype inside the encoder
     param_dtype: str = 'float32'
+    checkpoint_backend: str = 'npz'     # 'npz' | 'orbax' (async saves)
     mesh_shape: Tuple[int, ...] = (-1,)     # data-parallel axis by default
     mesh_axis_names: Tuple[str, ...] = ('data',)
 

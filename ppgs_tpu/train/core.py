@@ -121,36 +121,47 @@ def make_train_step(config, optimizer, class_weights=None):
 ###############################################################################
 
 
-def checkpoint_state(directory, step, epoch, params, opt_state):
-    """Save a training checkpoint as {step:08d}.npz."""
-    directory = Path(directory)
-    directory.mkdir(parents=True, exist_ok=True)
-    flat = load_mod.flatten_params({
-        'params': jax.device_get(params),
-        'opt_state': jax.device_get(_opt_state_to_tree(opt_state)),
-    })
-    path = directory / f'{step:08d}.npz'
-    np.savez(path, **flat)
-    with open(directory / f'{step:08d}.json', 'w') as file:
-        json.dump({'step': step, 'epoch': epoch}, file)
-    return path
+def checkpoint_state(directory, step, epoch, params, opt_state,
+                     backend='npz'):
+    """Save a training checkpoint ({step:08d}.npz, or an orbax step
+    directory with async serialization when backend='orbax')."""
+    from . import checkpoint as ckpt
+
+    state = {'params': params, 'opt_state': _opt_state_to_tree(opt_state)}
+    if backend == 'orbax':
+        return ckpt.orbax_save(directory, step, epoch, state)
+    return ckpt.npz_save(directory, step, epoch, jax.device_get(state))
 
 
-def latest_checkpoint(directory):
-    paths = sorted(Path(directory).glob('[0-9]*.npz'))
-    return paths[-1] if paths else None
+def latest_checkpoint(directory, backend='npz'):
+    from . import checkpoint as ckpt
+
+    if backend == 'orbax':
+        return ckpt.orbax_latest(directory)
+    return ckpt.npz_latest(directory)
 
 
-def load_checkpoint(path, optimizer, params_template):
-    """Restore (params, opt_state, step, epoch) from an npz checkpoint."""
-    flat = np.load(path)
-    tree = load_mod.unflatten_params({k: flat[k] for k in flat.files})
+def load_checkpoint(path, optimizer, params_template, backend='npz'):
+    """Restore (params, opt_state, step, epoch) from a checkpoint.
+
+    ``path`` is the npz file, or the orbax step directory returned by
+    latest_checkpoint(backend='orbax')."""
+    from . import checkpoint as ckpt
+
+    if backend == 'orbax':
+        template = {
+            'params': params_template,
+            'opt_state': _opt_state_to_tree(
+                optimizer.init(params_template)),
+        }
+        tree, step, epoch = ckpt.orbax_restore(
+            Path(path).parent, int(Path(path).name), template)
+    else:
+        tree, step, epoch = ckpt.npz_restore(path)
     params = tree['params']
     opt_state = _tree_to_opt_state(
         tree['opt_state'], optimizer, params_template)
-    with open(Path(path).with_suffix('.json')) as file:
-        state = json.load(file)
-    return params, opt_state, state['step'], state['epoch']
+    return params, opt_state, step, epoch
 
 
 def _opt_state_to_tree(opt_state):
@@ -253,10 +264,11 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     step_fn = make_train_step(config, optimizer, class_weights)
 
     # Maybe resume
-    ckpt = latest_checkpoint(directory)
+    backend = config.checkpoint_backend
+    ckpt = latest_checkpoint(directory, backend)
     if ckpt is not None:
         params, opt_state, step, epoch = load_checkpoint(
-            ckpt, optimizer, params)
+            ckpt, optimizer, params, backend)
     else:
         step, epoch = 0, 0
 
@@ -310,7 +322,7 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
 
                 if step and step % config.checkpoint_interval == 0:
                     checkpoint_state(directory, step, epoch, params,
-                                     opt_state)
+                                     opt_state, backend)
 
                 step += 1
                 if step >= steps:
@@ -319,7 +331,10 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     except KeyboardInterrupt:
         pass
     finally:
-        checkpoint_state(directory, step, epoch, params, opt_state)
+        checkpoint_state(directory, step, epoch, params, opt_state, backend)
+        if backend == 'orbax':
+            from . import checkpoint as ckpt_mod
+            ckpt_mod.wait_until_finished(directory)
         writer.close()
 
     return params

@@ -163,3 +163,60 @@ def test_pad_batch_to_multiple():
     assert padded[0].shape == (8, 3)
     assert padded[1].shape == (8,)
     assert padded[0][5:].sum() == 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+    optimizer = train_core.make_optimizer(TINY)
+    opt_state = optimizer.init(params)
+    step_fn = train_core.make_train_step(TINY, optimizer)
+    features, targets, lengths = make_batch()
+    params, opt_state, _, _ = step_fn(
+        params, opt_state, jnp.asarray(features), jnp.asarray(targets),
+        jnp.asarray(lengths), jax.random.PRNGKey(2))
+
+    from ppgs_tpu.train import checkpoint as ckpt_mod
+
+    directory = tmp_path / 'run'
+    path = train_core.checkpoint_state(
+        directory, 250, 7, params, opt_state, backend='orbax')
+    ckpt_mod.wait_until_finished(directory)
+    assert train_core.latest_checkpoint(directory, backend='orbax') == path
+
+    params2, opt_state2, step, epoch = train_core.load_checkpoint(
+        path, optimizer, params, backend='orbax')
+    assert (step, epoch) == (250, 7)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(a, b, atol=0)
+    assert int(opt_state2[0].count) == int(opt_state[0].count)
+    ckpt_mod.close(directory)
+
+
+def test_train_resume_orbax(tmp_path):
+    """train() with the orbax backend checkpoints and auto-resumes."""
+    rng = np.random.default_rng(0)
+
+    def loader_fn(partition):
+        for _ in range(4):
+            yield (rng.standard_normal((2, 80, 64)).astype('f4'),
+                   rng.integers(0, 40, size=(2, 64)),
+                   np.array([64, 48]))
+
+    config = TINY.replace(checkpoint_backend='orbax',
+                          evaluation_interval=10 ** 9,
+                          checkpoint_interval=10 ** 9)
+    directory = tmp_path / 'run'
+    train_core.train('synthetic', directory=directory, config=config,
+                     max_steps=2, loader_fn=loader_fn)
+
+    from ppgs_tpu.train import checkpoint as ckpt_mod
+
+    latest = train_core.latest_checkpoint(directory, backend='orbax')
+    assert latest is not None and latest.name == '2'
+
+    # Resuming continues from step 2 (saves 3 at the end of max_steps=3)
+    train_core.train('synthetic', directory=directory, config=config,
+                     max_steps=3, loader_fn=loader_fn)
+    latest = train_core.latest_checkpoint(directory, backend='orbax')
+    assert latest.name == '3'
+    ckpt_mod.close(directory)
