@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LN_EPS = 1e-5
 MAX_SEQ = 1024          # whole-sequence-in-VMEM limit (see flash_attention)
+FFN_ROW_TILE = 512      # rows per FFN tile (bounds fp32 hidden to ~4 MB)
 
 
 def _ln(r, g, b):
@@ -46,47 +47,102 @@ def _kernel(x_ref, mask_ref,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             wo_ref, bo_ref, g1_ref, be1_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-            o_ref, *, heads, sm_scale, compute_dtype):
-    x32 = x_ref[0].astype(jnp.float32)                  # (T, C)
+            o_ref, *, heads, sm_scale, compute_dtype, block_b, seq_len):
+    # block_b windows per grid step, flattened to one (block_b*T, C) slab so
+    # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
+    # utilization than per-window M=T); only the attention score/value
+    # matmuls stay per-window (windows must not attend to each other).
+    T, C = seq_len, x_ref.shape[-1]
+    x32 = x_ref[...].reshape(block_b * T, C).astype(jnp.float32)
     xc = x32.astype(compute_dtype)
-    mask = mask_ref[0, 0, :]                            # (T,)
+    mask = mask_ref[...].reshape(block_b, T)             # (block_b, T)
 
     def dot(a, w_ref, b_ref):
         out = jax.lax.dot(a, w_ref[...],
                           preferred_element_type=jnp.float32)
         return out + b_ref[...].astype(jnp.float32)
 
-    q = dot(xc, wq_ref, bq_ref).astype(compute_dtype)   # (T, C)
+    q = dot(xc, wq_ref, bq_ref).astype(compute_dtype)   # (bb*T, C)
     k = dot(xc, wk_ref, bk_ref).astype(compute_dtype)
     v = dot(xc, wv_ref, bv_ref).astype(compute_dtype)
 
     d_head = q.shape[-1] // heads
-    outs = []
-    for h in range(heads):                               # static unroll
-        sl = slice(h * d_head, (h + 1) * d_head)
-        logits = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
-        logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
-        row_max = logits.max(axis=-1, keepdims=True)
-        p = jnp.exp(logits - row_max)
-        p = jnp.where(mask[None, :] > 0, p, 0.0)
-        denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
-        outs.append(jax.lax.dot(
-            (p / denom).astype(compute_dtype), v[:, sl],
-            preferred_element_type=jnp.float32).astype(compute_dtype))
-    a = jnp.concatenate(outs, axis=-1)                   # (T, C)
+    slabs = []
+    for b in range(block_b):                             # static unroll
+        rows = slice(b * T, (b + 1) * T)
+        key_mask = mask[b][None, :] > 0                  # (1, T)
+        outs = []
+        for h in range(heads):
+            sl = slice(h * d_head, (h + 1) * d_head)
+            logits = jax.lax.dot_general(
+                q[rows, sl], k[rows, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            logits = jnp.where(key_mask, logits, NEG_INF)
+            # Clamping row_max keeps masked entries at exp(-1e30 - rm) = 0
+            # exactly (fp32 underflow) for any rm >= -1e29 — including
+            # fully-masked rows — so no second where pass is needed
+            row_max = jnp.maximum(
+                logits.max(axis=-1, keepdims=True), -1e29)
+            p = jnp.exp(logits - row_max)
+            denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+            # Unnormalized p through the MXU; fold 1/denom into the (T, D)
+            # output — T*D divisions instead of T*T (flash-attention style)
+            outs.append(
+                jax.lax.dot(p.astype(compute_dtype), v[rows, sl],
+                            preferred_element_type=jnp.float32)
+                / denom)
+        slabs.append(
+            jnp.concatenate(outs, axis=-1).astype(compute_dtype))  # (T, C)
+    a = jnp.concatenate(slabs, axis=0)                   # (bb*T, C)
 
     r = _ln(x32 + dot(a, wo_ref, bo_ref),
             g1_ref[...].astype(jnp.float32),
-            be1_ref[...].astype(jnp.float32))            # (T, C) fp32
+            be1_ref[...].astype(jnp.float32))            # (bb*T, C) fp32
 
-    h1 = jnp.maximum(dot(r.astype(compute_dtype), w1_ref, b1_ref), 0.0)
-    y = dot(h1.astype(compute_dtype), w2_ref, b2_ref)
+    # FFN tiled over row blocks: the (rows, F) fp32 hidden is the VMEM hog
+    # (bb*T*F*4 bytes untiled); per-tile it is ROWS*F*4 regardless of
+    # block_b. Hidden rounds to compute_dtype between the matmuls exactly
+    # like the XLA path.
+    rows_per_tile = min(FFN_ROW_TILE, block_b * T)
+    y_parts = []
+    for r0 in range(0, block_b * T, rows_per_tile):
+        tile = slice(r0, r0 + rows_per_tile)
+        h1 = jnp.maximum(dot(r[tile].astype(compute_dtype), w1_ref, b1_ref),
+                         0.0).astype(compute_dtype)
+        y_parts.append(dot(h1, w2_ref, b2_ref))
+    y = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
     out = _ln(r + y,
               g2_ref[...].astype(jnp.float32),
               be2_ref[...].astype(jnp.float32))
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(block_b, T, C).astype(o_ref.dtype)
+
+
+DEFAULT_BLOCK_B = 4
+
+
+def _pick_block_b(B, T, C, F):
+    """Largest divisor of B (<= DEFAULT_BLOCK_B) whose working set fits VMEM.
+
+    Rough per-step VMEM: (T, C)-shaped live slabs (x32/xc/q/k/v/a/r/y ~ 22
+    bytes/elem across fp32+bf16 copies) * bb + per-window fp32 scores T*T*4
+    + bf16 FFN hidden bb*T*F*2 + resident weights + double-buffered IO
+    blocks. ~16 MB/core total; stay under ~13 MB for pipelining headroom.
+    """
+    import os
+
+    override = os.environ.get('PPGS_TPU_BLOCK_B')
+    if override:
+        return max(1, min(int(override), B))
+    weights = (4 * C * C + 2 * C * F) * 2
+    for bb in range(min(DEFAULT_BLOCK_B, B), 0, -1):
+        if B % bb:
+            continue
+        hidden = min(FFN_ROW_TILE, bb * T) * F * 6
+        acts = bb * T * C * 22 + T * T * 4 + hidden
+        io = 2 * 2 * bb * T * C * 2
+        if weights + acts + io <= 13 * 1024 * 1024:
+            return bb
+    return 1
 
 
 @functools.partial(
@@ -101,6 +157,7 @@ def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
     B, T, C = x.shape
     F = ffn['w1'].shape[-1]
     cd = jnp.dtype(compute_dtype)
+    block_b = _pick_block_b(B, T, C, F)
 
     def w(a):
         return a.astype(cd)
@@ -110,27 +167,33 @@ def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
 
     sm_scale = 1.0 / (C // heads) ** 0.5
     kernel = functools.partial(
-        _kernel, heads=heads, sm_scale=sm_scale, compute_dtype=cd)
+        _kernel, heads=heads, sm_scale=sm_scale, compute_dtype=cd,
+        block_b=block_b, seq_len=T)
 
     cspec = pl.BlockSpec((C, C), lambda b: (0, 0))
     crow = pl.BlockSpec((1, C), lambda b: (0, 0))
     frow = pl.BlockSpec((1, F), lambda b: (0, 0))
+    flops_step = (8 * T * C * C + 4 * T * T * C + 4 * T * C * F) * block_b
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // block_b,),
         in_specs=[
-            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, T, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, 1, T), lambda b: (b, 0, 0)),
             cspec, crow, cspec, crow, cspec, crow,       # wq..bv
             cspec, crow, crow, crow,                     # wo, bo, g1, be1
             pl.BlockSpec((C, F), lambda b: (0, 0)), frow,
             pl.BlockSpec((F, C), lambda b: (0, 0)), crow,
             crow, crow,                                  # g2, be2
         ],
-        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((block_b, T, C), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=('parallel',)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * (B // block_b),
+            bytes_accessed=2 * B * T * C * 2 + (4 * C * C + 2 * C * F) * 2,
+            transcendentals=B * T * T * heads),
         interpret=interpret,
     )(
         x, mask.astype(jnp.float32).reshape(B, 1, T),

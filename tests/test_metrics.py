@@ -132,3 +132,36 @@ def test_prob_confusion_rows_sum_to_counts():
     s = jax.device_get(metrics.state)
     np.testing.assert_allclose(
         s['prob_confusion'].sum(axis=1), s['class_counts'], rtol=1e-4)
+
+
+def test_evaluate_partition_logs_figures(tmp_path):
+    """Eval passes confusion/distance figures to the writer (reference logs
+    matplotlib figures to tensorboard, ppgs/train/core.py:354-365)."""
+    import jax
+    from ppgs_tpu import parallel
+    from ppgs_tpu.train import core as train_core
+
+    config = ppgs_tpu.Config(
+        num_hidden_layers=1, hidden_channels=64, ffn_channels=128,
+        max_len=64, chunk_length=64, chunk_overlap=8,
+        compute_dtype='float32')
+    params = ppgs_tpu.models.init(jax.random.PRNGKey(0), config)
+    mesh = parallel.make_mesh(shape=(1,), axis_names=('data',))
+
+    rng = np.random.default_rng(0)
+
+    def loader_fn(partition):
+        yield (rng.standard_normal((2, 80, 64)).astype('f4'),
+               rng.integers(0, 40, size=(2, 64)),
+               np.array([64, 48]))
+
+    class Capture:
+        def update(self, step, scalars, figures=None):
+            self.scalars, self.figures = scalars, figures or {}
+
+    writer = Capture()
+    train_core.evaluate_partition(
+        writer, 0, params, config, loader_fn, 'valid', mesh, 1)
+    assert 'valid/Accuracy' in writer.scalars
+    assert set(writer.figures) == {
+        'valid/ConfusionMatrix', 'valid/DistanceMatrix'}
