@@ -34,10 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LN_EPS = 1e-5
 MAX_SEQ = 1024          # whole-sequence-in-VMEM limit (see flash_attention)
-FFN_ROW_TILE = 512      # rows per FFN tile (bounds fp32 hidden to ~4 MB)
+FFN_ROW_TILE = 1024     # rows per FFN tile (bounds fp32 hidden to ~8 MB)
 
 
 def _ln(r, g, b):
+    # Two-pass moments: one-pass E[x^2]-E[x]^2 keeps an extra (rows, C)
+    # fp32 slab live and blows the 16 MB scoped-vmem stack at block_b >= 4
     mean = r.mean(axis=-1, keepdims=True)
     var = ((r - mean) ** 2).mean(axis=-1, keepdims=True)
     return (r - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
@@ -50,50 +52,81 @@ def _kernel(x_ref, mask_ref,
             o_ref, *, heads, sm_scale, compute_dtype, block_b, seq_len):
     # block_b windows per grid step, flattened to one (block_b*T, C) slab so
     # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
-    # utilization than per-window M=T); only the attention score/value
-    # matmuls stay per-window (windows must not attend to each other).
+    # utilization than per-window M=T); the attention score/value matmuls
+    # run BATCHED over windows (dot_general batch dims — windows must not
+    # attend to each other, but a batched contraction keeps the IR small at
+    # any block_b, unlike a per-window unroll).
     T, C = seq_len, x_ref.shape[-1]
     x32 = x_ref[...].reshape(block_b * T, C).astype(jnp.float32)
     xc = x32.astype(compute_dtype)
-    mask = mask_ref[...].reshape(block_b, T)             # (block_b, T)
+    key_valid = mask_ref[...] > 0                        # (bb, 1, T)
 
     def dot(a, w_ref, b_ref):
         out = jax.lax.dot(a, w_ref[...],
                           preferred_element_type=jnp.float32)
         return out + b_ref[...].astype(jnp.float32)
 
-    q = dot(xc, wq_ref, bq_ref).astype(compute_dtype)   # (bb*T, C)
-    k = dot(xc, wk_ref, bk_ref).astype(compute_dtype)
-    v = dot(xc, wv_ref, bv_ref).astype(compute_dtype)
+    def dot_cd(a, w_ref, b_ref):
+        # fp32 MXU accumulation (Mosaic requires 32-bit acc) rounded to
+        # compute dtype before the bias add — bias add and downstream
+        # elementwise run at bf16 vector width, like the XLA path's
+        # `xc @ w + b`.
+        out = jax.lax.dot(a, w_ref[...],
+                          preferred_element_type=jnp.float32)
+        return out.astype(compute_dtype) + b_ref[...].astype(compute_dtype)
 
-    d_head = q.shape[-1] // heads
-    slabs = []
-    for b in range(block_b):                             # static unroll
-        rows = slice(b * T, (b + 1) * T)
-        key_mask = mask[b][None, :] > 0                  # (1, T)
-        outs = []
-        for h in range(heads):
-            sl = slice(h * d_head, (h + 1) * d_head)
-            logits = jax.lax.dot_general(
-                q[rows, sl], k[rows, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * sm_scale
-            logits = jnp.where(key_mask, logits, NEG_INF)
-            # Clamping row_max keeps masked entries at exp(-1e30 - rm) = 0
-            # exactly (fp32 underflow) for any rm >= -1e29 — including
-            # fully-masked rows — so no second where pass is needed
+    # softmax scale folded into q right after the projection: bb*T*C
+    # multiplies instead of bb*T*T on the logits
+    q = dot_cd(xc, wq_ref, bq_ref) * compute_dtype.type(sm_scale)
+    k = dot_cd(xc, wk_ref, bk_ref)
+    v = dot_cd(xc, wv_ref, bv_ref)
+    q3 = q.reshape(block_b, T, C)
+    k3 = k.reshape(block_b, T, C)
+    v3 = v.reshape(block_b, T, C)
+
+    d_head = C // heads
+    fast_softmax = jnp.dtype(compute_dtype) != jnp.float32
+    mask_cd = mask_ref[...].astype(compute_dtype)        # (bb, 1, T)
+    outs = []
+    for h in range(heads):                               # static unroll
+        sl = slice(h * d_head, (h + 1) * d_head)
+        logits = jax.lax.dot_general(
+            q3[..., sl], k3[..., sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (bb, T, T)
+        if fast_softmax:
+            # bf16-width softmax: row max over ALL keys (softmax is
+            # shift-invariant, and padded-key logits come from real,
+            # bounded activations, so no overflow risk), exp at compute
+            # dtype, and the key mask applied MULTIPLICATIVELY to p after
+            # the exp — half-width passes, and one mul replaces the fp32
+            # select. (An additive (bb, 1, T) bias would be cheaper still,
+            # but Mosaic miscompiles broadcast-ADD of a middle-dim-1
+            # operand onto a batched-matmul result; MUL is fine.)
+            row_max = logits.max(axis=-1, keepdims=True)
+            p = jnp.exp((logits - row_max).astype(compute_dtype))
+            p = p * mask_cd
+            denom = jnp.maximum(
+                p.sum(axis=-1, keepdims=True).astype(jnp.float32), 1e-30)
+        else:
+            # Strict-parity path (fp32 compute): masked entries pinned to
+            # -1e30 before the fp32 softmax. Clamping row_max keeps them
+            # at exp(-1e30 - rm) = 0 exactly (fp32 underflow) for any
+            # rm >= -1e29 — including fully-masked rows.
+            logits = jnp.where(key_valid, logits, NEG_INF)
             row_max = jnp.maximum(
                 logits.max(axis=-1, keepdims=True), -1e29)
-            p = jnp.exp(logits - row_max)
-            denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
-            # Unnormalized p through the MXU; fold 1/denom into the (T, D)
-            # output — T*D divisions instead of T*T (flash-attention style)
-            outs.append(
-                jax.lax.dot(p.astype(compute_dtype), v[rows, sl],
-                            preferred_element_type=jnp.float32)
-                / denom)
-        slabs.append(
-            jnp.concatenate(outs, axis=-1).astype(compute_dtype))  # (T, C)
-    a = jnp.concatenate(slabs, axis=0)                   # (bb*T, C)
+            p = (jnp.exp(logits - row_max)).astype(compute_dtype)
+            denom = jnp.maximum(
+                p.sum(axis=-1, keepdims=True).astype(jnp.float32), 1e-30)
+        # Unnormalized p through the MXU; fold 1/denom into the (T, D)
+        # output (flash-attention style) — T reciprocals + T*D multiplies
+        # instead of T*T divisions
+        outs.append(
+            jax.lax.dot_general(
+                p, v3[..., sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * (1.0 / denom))
+    a = jnp.concatenate(outs, axis=-1).astype(compute_dtype)
+    a = a.reshape(block_b * T, C)
 
     r = _ln(x32 + dot(a, wo_ref, bo_ref),
             g1_ref[...].astype(jnp.float32),
@@ -107,8 +140,8 @@ def _kernel(x_ref, mask_ref,
     y_parts = []
     for r0 in range(0, block_b * T, rows_per_tile):
         tile = slice(r0, r0 + rows_per_tile)
-        h1 = jnp.maximum(dot(r[tile].astype(compute_dtype), w1_ref, b1_ref),
-                         0.0).astype(compute_dtype)
+        h1 = jnp.maximum(dot_cd(r[tile].astype(compute_dtype),
+                                w1_ref, b1_ref), 0.0)
         y_parts.append(dot(h1, w2_ref, b2_ref))
     y = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
     out = _ln(r + y,
@@ -117,30 +150,40 @@ def _kernel(x_ref, mask_ref,
     o_ref[...] = out.reshape(block_b, T, C).astype(o_ref.dtype)
 
 
-DEFAULT_BLOCK_B = 4
+DEFAULT_BLOCK_B = 16
+
+
+def _vmem_budget_bytes():
+    """Per-step VMEM budget. The target chip class (v6e) has ~128 MB VMEM
+    per core; stay at 64 MB for pipelining headroom. Override via
+    PPGS_TPU_VMEM_BUDGET_MB on smaller-VMEM parts (e.g. 12 on 16 MB v5e)."""
+    import os
+
+    return int(os.environ.get('PPGS_TPU_VMEM_BUDGET_MB', '64')) * 1024 * 1024
 
 
 def _pick_block_b(B, T, C, F):
     """Largest divisor of B (<= DEFAULT_BLOCK_B) whose working set fits VMEM.
 
-    Rough per-step VMEM: (T, C)-shaped live slabs (x32/xc/q/k/v/a/r/y ~ 22
-    bytes/elem across fp32+bf16 copies) * bb + per-window fp32 scores T*T*4
-    + bf16 FFN hidden bb*T*F*2 + resident weights + double-buffered IO
-    blocks. ~16 MB/core total; stay under ~13 MB for pipelining headroom.
+    Rough per-step VMEM: (T, C)-shaped live slabs (x32/xc/q/k/v/a/r/y ~ 30
+    bytes/elem across fp32+bf16 copies) * bb + batched fp32 scores + bf16
+    probs bb*T*T*6 + FFN hidden tile + resident weights + double-buffered
+    IO blocks.
     """
     import os
 
     override = os.environ.get('PPGS_TPU_BLOCK_B')
     if override:
         return max(1, min(int(override), B))
+    budget = _vmem_budget_bytes()
     weights = (4 * C * C + 2 * C * F) * 2
     for bb in range(min(DEFAULT_BLOCK_B, B), 0, -1):
         if B % bb:
             continue
         hidden = min(FFN_ROW_TILE, bb * T) * F * 6
-        acts = bb * T * C * 22 + T * T * 4 + hidden
+        acts = bb * T * C * 30 + bb * T * T * 6 + hidden
         io = 2 * 2 * bb * T * C * 2
-        if weights + acts + io <= 13 * 1024 * 1024:
+        if weights + acts + io <= budget:
             return bb
     return 1
 
@@ -189,7 +232,12 @@ def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
         out_specs=pl.BlockSpec((block_b, T, C), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel',)),
+            dimension_semantics=('parallel',),
+            # Default scoped-vmem stack limit is 16 MB; the target chip
+            # class (v6e) has ~128 MB physical VMEM, so let large block_b
+            # working sets through (measured usage scales ~5 MB per window
+            # at T=512, C=256)
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_step * (B // block_b),
             bytes_accessed=2 * B * T * C * 2 + (4 * C * C + 2 * C * F) * 2,
