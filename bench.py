@@ -32,12 +32,18 @@ def main():
     params = transformer.init(jax.random.PRNGKey(0), config)
 
     # Workload: 64 utterances x 8 s audio @16 kHz, generated on device
-    # (host->device transfers are slow in this environment)
-    B, seconds = 64, 8
+    # (host->device transfers are slow in this environment). Several
+    # DISTINCT input batches are cycled during timing: repeated dispatch of
+    # an identical (executable, inputs) pair can be served from a cache by
+    # the remote runtime, which would measure dispatch instead of compute.
+    B, seconds, n_inputs = 64, 8, 4
     S = seconds * config.sample_rate
-    audio = jax.random.normal(
-        jax.random.PRNGKey(1), (B, 1, S), jnp.float32) * 0.1
-    audio.block_until_ready()
+    audios = [
+        jax.random.normal(
+            jax.random.PRNGKey(1 + i), (B, 1, S), jnp.float32) * 0.1
+        for i in range(n_inputs)
+    ]
+    jax.block_until_ready(audios)
 
     def make_pipeline(p):
         @jax.jit
@@ -52,12 +58,11 @@ def main():
             return jax.nn.softmax(logits, axis=1)
         return pipeline
 
-    def timeit(fn, iters=15):
-        fn(audio).block_until_ready()
+    def timeit(fn, iters=16):
+        fn(audios[0]).block_until_ready()
         start = time.perf_counter()
-        for _ in range(iters):
-            out = fn(audio)
-        out.block_until_ready()
+        outs = [fn(audios[i % n_inputs]) for i in range(iters)]
+        jax.block_until_ready(outs)
         return (time.perf_counter() - start) / iters
 
     audio_seconds = B * seconds

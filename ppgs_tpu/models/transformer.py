@@ -341,19 +341,19 @@ def forward(
             x = jnp.pad(x, ((0, 0), (0, padded_t - T), (0, 0)))
             stack_mask = jnp.pad(mask, ((0, 0), (0, padded_t - T)))
 
-    # Encoder stack. On the Pallas path each layer runs as ONE kernel
-    # (ops/encoder_layer_kernel.py): QKV/attention/out-proj/FFN/LNs stay in
-    # VMEM per chunk window instead of round-tripping HBM between ops.
+    # Encoder stack. On the Pallas path the WHOLE stack runs as ONE kernel
+    # (ops/encoder_layer_kernel.py): QKV/attention/out-proj/FFN/LNs AND the
+    # inter-layer fp32 residual stream stay in VMEM per window block
+    # instead of round-tripping HBM between ops and between layers.
     whole_layer = (flash and x.shape[1] % 8 == 0
                    and x.shape[1] <= _elk().MAX_SEQ)
-    for i, layer in enumerate(params['layers']):
-        layer_rngs = rngs[1 + 4 * i: 1 + 4 * (i + 1)]
-        if whole_layer:
-            x = _elk().encoder_layer(
-                x, stack_mask, layer['attn'], layer['norm1'],
-                layer['ffn'], layer['norm2'], config.attention_heads,
-                compute_dtype=compute_dtype)
-        else:
+    if whole_layer:
+        x = _elk().encoder_stack(
+            x, stack_mask, params['layers'], config.attention_heads,
+            compute_dtype=compute_dtype)
+    else:
+        for i, layer in enumerate(params['layers']):
+            layer_rngs = rngs[1 + 4 * i: 1 + 4 * (i + 1)]
             x = _encoder_layer(
                 x, layer, stack_mask, config.is_causal,
                 config.attention_heads, layer_rngs,

@@ -1,4 +1,4 @@
-"""Whole encoder layer as ONE Pallas kernel (TPU inference hot path).
+"""Whole encoder stack as ONE Pallas kernel (TPU inference hot path).
 
 A post-LN transformer layer (reference semantics:
 torch.nn.TransformerEncoderLayer, ppgs/model/transformer.py:13-114) is, per
@@ -6,17 +6,22 @@ chunk window, a chain of 8 matmuls + softmax + 2 LayerNorms. Issued as
 separate XLA ops each step round-trips the (T, C) activations (and the 8x
 wider FFN hidden) through HBM; at the PPG encoder's sizes (T=512, C=256,
 F=2048) the whole chain's working set is ~12 MB — it fits in VMEM. This
-kernel runs the full layer per grid program (one program per batch window):
+kernel goes further and runs ALL layers per grid program (one program per
+window block): the fp32 residual stream never leaves VMEM between layers,
+so HBM traffic for the full stack is read x + write out + weights once.
 
-    q,k,v = x@wq+bq, x@wk+bk, x@wv+bv          (packed qkv also fine)
+Per layer, per window block:
+
+    q,k,v = x@wq+bq, x@wk+bk, x@wv+bv
     a     = softmax(mask(q_h @ k_h^T * s)) @ v_h   per head (static unroll)
     r     = LN1(x + a @ wo + bo)
     out   = LN2(r + relu(r@w1+b1) @ w2 + b2)
 
-HBM traffic per layer: read x (T,C) + write out (T,C) + weights once —
-~20x less than the unfused chain. fp32 residuals/LN statistics and fp32 MXU
-accumulation (preferred_element_type); bf16 matmul operands. Forward-only:
-training keeps the autodiffable XLA formulation.
+Attention is BATCHED over the windows of a block (dot_general batch dims):
+the kernel IR does not grow with block_b, so large window blocks compile
+fast. fp32 residuals/LN statistics and fp32 MXU accumulation
+(preferred_element_type); bf16 matmul operands. Forward-only: training
+keeps the autodiffable XLA formulation.
 
 Numerics match models.transformer's XLA path within bf16 rounding: fully
 masked query rows produce zeros (safe softmax), identical to the flash
@@ -39,54 +44,43 @@ FFN_ROW_TILE = 1024     # rows per FFN tile (bounds fp32 hidden to ~8 MB)
 
 def _ln(r, g, b):
     # Two-pass moments: one-pass E[x^2]-E[x]^2 keeps an extra (rows, C)
-    # fp32 slab live and blows the 16 MB scoped-vmem stack at block_b >= 4
+    # fp32 slab live and blows the vmem stack at block_b >= 4
     mean = r.mean(axis=-1, keepdims=True)
     var = ((r - mean) ** 2).mean(axis=-1, keepdims=True)
     return (r - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
 
 
-def _kernel(x_ref, mask_ref,
-            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-            wo_ref, bo_ref, g1_ref, be1_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-            o_ref, *, heads, sm_scale, compute_dtype, block_b, seq_len):
-    # block_b windows per grid step, flattened to one (block_b*T, C) slab so
-    # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
-    # utilization than per-window M=T); the attention score/value matmuls
-    # run BATCHED over windows (dot_general batch dims — windows must not
-    # attend to each other, but a batched contraction keeps the IR small at
-    # any block_b, unlike a per-window unroll).
-    T, C = seq_len, x_ref.shape[-1]
-    x32 = x_ref[...].reshape(block_b * T, C).astype(jnp.float32)
+def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
+                wo, bo, g1, be1, w1, b1, w2, b2, g2, be2,
+                *, heads, sm_scale, compute_dtype, block_b, seq_len):
+    """One post-LN layer on a flattened fp32 (block_b*T, C) slab."""
+    T = seq_len
+    C = x32.shape[-1]
     xc = x32.astype(compute_dtype)
-    key_valid = mask_ref[...] > 0                        # (bb, 1, T)
 
-    def dot(a, w_ref, b_ref):
-        out = jax.lax.dot(a, w_ref[...],
-                          preferred_element_type=jnp.float32)
-        return out + b_ref[...].astype(jnp.float32)
+    def dot(a, w, b):
+        out = jax.lax.dot(a, w, preferred_element_type=jnp.float32)
+        return out + b.astype(jnp.float32)
 
-    def dot_cd(a, w_ref, b_ref):
+    def dot_cd(a, w, b):
         # fp32 MXU accumulation (Mosaic requires 32-bit acc) rounded to
         # compute dtype before the bias add — bias add and downstream
         # elementwise run at bf16 vector width, like the XLA path's
         # `xc @ w + b`.
-        out = jax.lax.dot(a, w_ref[...],
-                          preferred_element_type=jnp.float32)
-        return out.astype(compute_dtype) + b_ref[...].astype(compute_dtype)
+        out = jax.lax.dot(a, w, preferred_element_type=jnp.float32)
+        return out.astype(compute_dtype) + b.astype(compute_dtype)
 
     # softmax scale folded into q right after the projection: bb*T*C
     # multiplies instead of bb*T*T on the logits
-    q = dot_cd(xc, wq_ref, bq_ref) * compute_dtype.type(sm_scale)
-    k = dot_cd(xc, wk_ref, bk_ref)
-    v = dot_cd(xc, wv_ref, bv_ref)
+    q = dot_cd(xc, wq, bq) * compute_dtype.type(sm_scale)
+    k = dot_cd(xc, wk, bk)
+    v = dot_cd(xc, wv, bv)
     q3 = q.reshape(block_b, T, C)
     k3 = k.reshape(block_b, T, C)
     v3 = v.reshape(block_b, T, C)
 
     d_head = C // heads
     fast_softmax = jnp.dtype(compute_dtype) != jnp.float32
-    mask_cd = mask_ref[...].astype(compute_dtype)        # (bb, 1, T)
     outs = []
     for h in range(heads):                               # static unroll
         sl = slice(h * d_head, (h + 1) * d_head)
@@ -128,9 +122,8 @@ def _kernel(x_ref, mask_ref,
     a = jnp.concatenate(outs, axis=-1).astype(compute_dtype)
     a = a.reshape(block_b * T, C)
 
-    r = _ln(x32 + dot(a, wo_ref, bo_ref),
-            g1_ref[...].astype(jnp.float32),
-            be1_ref[...].astype(jnp.float32))            # (bb*T, C) fp32
+    r = _ln(x32 + dot(a, wo, bo),
+            g1.astype(jnp.float32), be1.astype(jnp.float32))
 
     # FFN tiled over row blocks: the (rows, F) fp32 hidden is the VMEM hog
     # (bb*T*F*4 bytes untiled); per-tile it is ROWS*F*4 regardless of
@@ -140,14 +133,39 @@ def _kernel(x_ref, mask_ref,
     y_parts = []
     for r0 in range(0, block_b * T, rows_per_tile):
         tile = slice(r0, r0 + rows_per_tile)
-        h1 = jnp.maximum(dot_cd(r[tile].astype(compute_dtype),
-                                w1_ref, b1_ref), 0.0)
-        y_parts.append(dot(h1, w2_ref, b2_ref))
+        h1 = jnp.maximum(dot_cd(r[tile].astype(compute_dtype), w1, b1), 0.0)
+        y_parts.append(dot(h1, w2, b2))
     y = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
-    out = _ln(r + y,
-              g2_ref[...].astype(jnp.float32),
-              be2_ref[...].astype(jnp.float32))
-    o_ref[...] = out.reshape(block_b, T, C).astype(o_ref.dtype)
+    return _ln(r + y, g2.astype(jnp.float32), be2.astype(jnp.float32))
+
+
+def _stack_kernel(x_ref, mask_ref,
+                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                  wo_ref, bo_ref, g1_ref, be1_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+                  o_ref, *, num_layers, heads, sm_scale, compute_dtype,
+                  block_b, seq_len):
+    # block_b windows per grid step, flattened to one (block_b*T, C) slab so
+    # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
+    # utilization than per-window M=T); the attention score/value matmuls
+    # run batched over windows. The fp32 residual stream stays in VMEM
+    # across all layers (static unroll).
+    T, C = seq_len, x_ref.shape[-1]
+    x32 = x_ref[...].reshape(block_b * T, C).astype(jnp.float32)
+    key_valid = mask_ref[...] > 0                        # (bb, 1, T)
+    mask_cd = mask_ref[...].astype(compute_dtype)
+
+    for layer in range(num_layers):                      # static unroll
+        x32 = _layer_body(
+            x32, key_valid, mask_cd,
+            wq_ref[layer], bq_ref[layer], wk_ref[layer], bk_ref[layer],
+            wv_ref[layer], bv_ref[layer], wo_ref[layer], bo_ref[layer],
+            g1_ref[layer], be1_ref[layer],
+            w1_ref[layer], b1_ref[layer], w2_ref[layer], b2_ref[layer],
+            g2_ref[layer], be2_ref[layer],
+            heads=heads, sm_scale=sm_scale, compute_dtype=compute_dtype,
+            block_b=block_b, seq_len=seq_len)
+    o_ref[...] = x32.reshape(block_b, T, C).astype(o_ref.dtype)
 
 
 DEFAULT_BLOCK_B = 16
@@ -162,13 +180,13 @@ def _vmem_budget_bytes():
     return int(os.environ.get('PPGS_TPU_VMEM_BUDGET_MB', '64')) * 1024 * 1024
 
 
-def _pick_block_b(B, T, C, F):
+def _pick_block_b(B, T, C, F, num_layers=1):
     """Largest divisor of B (<= DEFAULT_BLOCK_B) whose working set fits VMEM.
 
     Rough per-step VMEM: (T, C)-shaped live slabs (x32/xc/q/k/v/a/r/y ~ 30
     bytes/elem across fp32+bf16 copies) * bb + batched fp32 scores + bf16
-    probs bb*T*T*6 + FFN hidden tile + resident weights + double-buffered
-    IO blocks.
+    probs bb*T*T*6 + FFN hidden tile + resident weights (all layers) +
+    double-buffered IO blocks.
     """
     import os
 
@@ -176,7 +194,7 @@ def _pick_block_b(B, T, C, F):
     if override:
         return max(1, min(int(override), B))
     budget = _vmem_budget_bytes()
-    weights = (4 * C * C + 2 * C * F) * 2
+    weights = num_layers * (4 * C * C + 2 * C * F) * 2
     for bb in range(min(DEFAULT_BLOCK_B, B), 0, -1):
         if B % bb:
             continue
@@ -190,33 +208,47 @@ def _pick_block_b(B, T, C, F):
 
 @functools.partial(
     jax.jit, static_argnames=('heads', 'compute_dtype', 'interpret'))
-def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
+def encoder_stack(x, mask, layers, heads,
                   compute_dtype=jnp.bfloat16, interpret=False):
-    """One full post-LN encoder layer on (B, T, C) activations.
+    """The full post-LN encoder stack on (B, T, C) activations, one kernel.
 
-    attn/norm1/ffn/norm2 are the models.transformer layer param sub-trees.
-    mask: (B, T), nonzero = valid key. Returns x.dtype.
+    layers: the models.transformer ``params['layers']`` list (each entry has
+    attn/norm1/ffn/norm2 sub-trees). mask: (B, T), nonzero = valid key.
+    Returns x.dtype.
     """
     B, T, C = x.shape
-    F = ffn['w1'].shape[-1]
+    L = len(layers)
+    F = layers[0]['ffn']['w1'].shape[-1]
     cd = jnp.dtype(compute_dtype)
-    block_b = _pick_block_b(B, T, C, F)
+    block_b = _pick_block_b(B, T, C, F, num_layers=L)
 
-    def w(a):
-        return a.astype(cd)
+    def stack(path, astype, reshape=None):
+        leaves = []
+        for layer in layers:
+            leaf = layer
+            for key in path:
+                leaf = leaf[key]
+            if reshape is not None:
+                leaf = leaf.reshape(reshape)
+            leaves.append(leaf.astype(astype))
+        return jnp.stack(leaves)
 
-    def row(a):
-        return a.reshape(1, -1).astype(jnp.float32)
+    def w(*path):
+        return stack(path, cd)
+
+    def row(*path):
+        return stack(path, jnp.float32, reshape=(1, -1))
 
     sm_scale = 1.0 / (C // heads) ** 0.5
     kernel = functools.partial(
-        _kernel, heads=heads, sm_scale=sm_scale, compute_dtype=cd,
-        block_b=block_b, seq_len=T)
+        _stack_kernel, num_layers=L, heads=heads, sm_scale=sm_scale,
+        compute_dtype=cd, block_b=block_b, seq_len=T)
 
-    cspec = pl.BlockSpec((C, C), lambda b: (0, 0))
-    crow = pl.BlockSpec((1, C), lambda b: (0, 0))
-    frow = pl.BlockSpec((1, F), lambda b: (0, 0))
-    flops_step = (8 * T * C * C + 4 * T * T * C + 4 * T * C * F) * block_b
+    cspec = pl.BlockSpec((L, C, C), lambda b: (0, 0, 0))
+    crow = pl.BlockSpec((L, 1, C), lambda b: (0, 0, 0))
+    frow = pl.BlockSpec((L, 1, F), lambda b: (0, 0, 0))
+    flops_step = (8 * T * C * C + 4 * T * T * C
+                  + 4 * T * C * F) * block_b * L
     return pl.pallas_call(
         kernel,
         grid=(B // block_b,),
@@ -225,8 +257,8 @@ def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
             pl.BlockSpec((block_b, 1, T), lambda b: (b, 0, 0)),
             cspec, crow, cspec, crow, cspec, crow,       # wq..bv
             cspec, crow, crow, crow,                     # wo, bo, g1, be1
-            pl.BlockSpec((C, F), lambda b: (0, 0)), frow,
-            pl.BlockSpec((F, C), lambda b: (0, 0)), crow,
+            pl.BlockSpec((L, C, F), lambda b: (0, 0, 0)), frow,
+            pl.BlockSpec((L, F, C), lambda b: (0, 0, 0)), crow,
             crow, crow,                                  # g2, be2
         ],
         out_specs=pl.BlockSpec((block_b, T, C), lambda b: (b, 0, 0)),
@@ -240,17 +272,29 @@ def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops_step * (B // block_b),
-            bytes_accessed=2 * B * T * C * 2 + (4 * C * C + 2 * C * F) * 2,
-            transcendentals=B * T * T * heads),
+            bytes_accessed=(2 * B * T * C * 2
+                            + L * (4 * C * C + 2 * C * F) * 2),
+            transcendentals=B * T * T * heads * L),
         interpret=interpret,
     )(
         x, mask.astype(jnp.float32).reshape(B, 1, T),
-        w(attn['wq']), row(attn['bq']),
-        w(attn['wk']), row(attn['bk']),
-        w(attn['wv']), row(attn['bv']),
-        w(attn['wo']), row(attn['bo']),
-        row(norm1['scale']), row(norm1['bias']),
-        w(ffn['w1']), row(ffn['b1']),
-        w(ffn['w2']), row(ffn['b2']),
-        row(norm2['scale']), row(norm2['bias']),
+        w('attn', 'wq'), row('attn', 'bq'),
+        w('attn', 'wk'), row('attn', 'bk'),
+        w('attn', 'wv'), row('attn', 'bv'),
+        w('attn', 'wo'), row('attn', 'bo'),
+        row('norm1', 'scale'), row('norm1', 'bias'),
+        w('ffn', 'w1'), row('ffn', 'b1'),
+        w('ffn', 'w2'), row('ffn', 'b2'),
+        row('norm2', 'scale'), row('norm2', 'bias'),
     )
+
+
+def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
+                  compute_dtype=jnp.bfloat16, interpret=False):
+    """One full post-LN encoder layer on (B, T, C) activations.
+
+    Single-layer convenience wrapper over ``encoder_stack``.
+    """
+    layer = {'attn': attn, 'norm1': norm1, 'ffn': ffn, 'norm2': norm2}
+    return encoder_stack(x, mask, [layer], heads,
+                         compute_dtype=compute_dtype, interpret=interpret)

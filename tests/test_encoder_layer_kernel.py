@@ -58,3 +58,29 @@ def test_fp32_compute_dtype_tight():
     np.testing.assert_allclose(
         np.asarray(got)[valid], np.asarray(want)[valid],
         atol=2e-4, rtol=2e-4)
+
+
+def test_stack_matches_sequential_xla_layers():
+    """Multi-layer megakernel vs the XLA layers applied sequentially."""
+    config = ppgs_tpu.Config()
+    params = transformer.init(jax.random.PRNGKey(2), config)
+
+    B, T, C = 4, 256, config.hidden_channels
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    lengths = jnp.asarray([256, 250, 64, 8])
+    mask = transformer.mask_from_lengths(lengths, T)
+
+    want = x
+    for layer in params['layers']:
+        want = transformer._encoder_layer(
+            want, layer, mask, False, config.attention_heads,
+            [None] * 4, 0.0, jnp.bfloat16, None)
+    got = elk.encoder_stack(
+        x, mask, params['layers'], config.attention_heads, interpret=True)
+
+    assert got.shape == want.shape and got.dtype == want.dtype
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid],
+        atol=8e-2, rtol=8e-2)
