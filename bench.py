@@ -22,6 +22,17 @@ import time
 
 def main():
     import jax
+
+    # Persistent compilation cache: device compiles ride a slow tunnel in
+    # this environment (minutes); warm-cache reruns start in seconds.
+    try:
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     import ppgs_tpu
@@ -65,12 +76,39 @@ def main():
         jax.block_until_ready(outs)
         return (time.perf_counter() - start) / iters
 
+    def timeit_chained(fn, n1=3, n2=9):
+        """Device-side time per pipeline application: chain N applications
+        inside ONE jitted program (a loop-carried scalar forces sequential
+        execution) and fit the slope over two N — dispatch/tunnel overheads
+        and any runtime result caching cancel."""
+        def run_n(n):
+            @jax.jit
+            def many(audio):
+                def body(i, acc):
+                    out = fn.__wrapped__(audio + acc * 1e-30)
+                    return out.mean().astype(audio.dtype)
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            many(audios[0]).block_until_ready()
+            best = float('inf')
+            for _ in range(3):
+                t0 = time.perf_counter()
+                many(audios[0]).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (run_n(n2) - run_n(n1)) / (n2 - n1)
+
     audio_seconds = B * seconds
 
-    # Default path: the default config (bf16 compute + Pallas whole-layer
-    # kernels), i.e. exactly what ppgs_tpu.from_audio runs. Parity with the
+    # Default path: the default config (bf16 compute + Pallas whole-stack
+    # kernel), i.e. exactly what ppgs_tpu.from_audio runs. Parity with the
     # reference numerics is enforced by tests/, not by the benchmark.
-    value = audio_seconds / timeit(make_pipeline(params))
+    # PPGS_BENCH_CHAINED=1 measures via N-chained applications inside one
+    # program (immune to dispatch overhead and runtime result caching).
+    measure = (timeit_chained if os.environ.get('PPGS_BENCH_CHAINED')
+               else timeit)
+    value = audio_seconds / measure(make_pipeline(params))
 
     vs_baseline = 1.0
     if os.environ.get('PPGS_BENCH_FULL'):

@@ -43,19 +43,32 @@ def main():
     jax.block_until_ready(batches)
     rng = jax.random.PRNGKey(2)
 
-    # Warmup/compile (donated args: keep fresh state per call)
-    params, opt_state, train_loss, _ = step_fn(
-        params, opt_state, batches[0][0], batches[0][1], lengths, rng)
-    jax.block_until_ready(train_loss)
+    # Chain N steps inside ONE jitted program (state carries the
+    # dependency) and fit time over two N: the slope is the pure device
+    # step time — dispatch/tunnel overheads and any result caching cancel.
+    def run_n(n):
+        @jax.jit
+        def many(params, opt_state):
+            def body(i, carry):
+                params, opt_state = carry
+                feats, targets = batches[0]
+                params, opt_state, _, _ = step_fn.__wrapped__(
+                    params, opt_state, feats, targets, lengths,
+                    jax.random.fold_in(rng, i))
+                return params, opt_state
+            return jax.lax.fori_loop(0, n, body, (params, opt_state))
 
-    iters = 12
-    start = time.perf_counter()
-    for i in range(iters):
-        feats, targets = batches[i % n_inputs]
-        params, opt_state, train_loss, _ = step_fn(
-            params, opt_state, feats, targets, lengths, rng)
-    jax.block_until_ready(train_loss)
-    dt = (time.perf_counter() - start) / iters
+        out = many(params, opt_state)
+        jax.block_until_ready(out)
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(params, opt_state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 2, 8
+    dt = (run_n(n2) - run_n(n1)) / (n2 - n1)
 
     frames = B * T
     audio_seconds = frames / config.frames_per_second
