@@ -206,26 +206,38 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
     v4 = v.reshape(B, T, heads, d_head)
 
     scale = 1.0 / math.sqrt(d_head)
+    # Softmax accumulation dtype: fp32 for inference parity; at train time
+    # with a low-precision compute dtype, the whole (B, H, T, T) chain
+    # stays at compute width — it is the HBM-traffic hot spot of the train
+    # step, and the reference itself trains the softmax under fp16
+    # autocast (ppgs/train/core.py:121-124)
+    train_mode = dropout_rng is not None
+    acc_dtype = (compute_dtype if train_mode
+                 and compute_dtype != jnp.float32 else jnp.float32)
     logits = jnp.einsum('bqhd,bkhd->bhqk', q4, k4,
-                        precision=precision).astype(jnp.float32) * scale
+                        precision=precision).astype(acc_dtype) * scale
 
     mask = key_mask[:, None, None, :]            # (B, 1, 1, T)
     if causal:
         causal_mask = jnp.tril(jnp.ones((T, T), dtype=bool))
         mask = mask & causal_mask[None, None]
-    logits = jnp.where(mask, logits, -jnp.inf)
+    neg = jnp.asarray(-jnp.inf, acc_dtype)
+    logits = jnp.where(mask, logits, neg)
 
     # Safe softmax: all-masked rows yield zeros
     logits_max = jnp.max(logits, axis=-1, keepdims=True)
-    logits_max = jnp.where(jnp.isfinite(logits_max), logits_max, 0.0)
+    logits_max = jnp.where(jnp.isfinite(logits_max), logits_max,
+                           jnp.asarray(0.0, acc_dtype))
     unnorm = jnp.exp(logits - logits_max)
-    unnorm = jnp.where(mask, unnorm, 0.0)
-    denom = unnorm.sum(axis=-1, keepdims=True)
-    attn = unnorm / jnp.maximum(denom, 1e-30)
+    unnorm = jnp.where(mask, unnorm, jnp.asarray(0.0, acc_dtype))
+    # fp32 accumulation of the row sums regardless of acc_dtype
+    denom = unnorm.sum(axis=-1, keepdims=True, dtype=jnp.float32)
+    attn = unnorm * (1.0 / jnp.maximum(denom, 1e-30)).astype(acc_dtype)
 
-    if dropout_rng is not None and dropout > 0:
+    if train_mode and dropout > 0:
         keep = jax.random.bernoulli(dropout_rng, 1 - dropout, attn.shape)
-        attn = jnp.where(keep, attn / (1 - dropout), 0.0)
+        attn = jnp.where(keep, attn / jnp.asarray(1 - dropout, acc_dtype),
+                         jnp.asarray(0.0, acc_dtype))
 
     out = jnp.einsum('bhqk,bkhd->bqhd', attn.astype(compute_dtype), v4,
                      precision=precision).reshape(B, T, C)

@@ -41,7 +41,7 @@ def main():
         batches.append((feats, targets))
     lengths = jnp.full((B,), T, jnp.int32)
     jax.block_until_ready(batches)
-    rng = jax.random.PRNGKey(2)
+    rng = jax.random.key(2, impl='rbg')
 
     # Chain N steps inside ONE jitted program (state carries the
     # dependency) and fit time over two N: the slope is the pure device
