@@ -119,3 +119,7 @@ from .context import (                                        # noqa: E402
     context_parallel_chunked_forward,
     pad_frames_for_context,
 )
+from .pipeline import (                                        # noqa: E402
+    pipeline_forward,
+    stack_layer_params,
+)

@@ -1,0 +1,151 @@
+"""Pipeline parallelism: encoder layers staged over a mesh axis.
+
+The reference has no distributed execution at all (SURVEY.md §2.b); this
+module adds the remaining classic strategy alongside DP (train/core.py),
+TP (parallel/__init__.py) and CP (parallel/context.py): a GPipe-style
+schedule where each device along the ``pipe`` mesh axis owns a contiguous
+block of encoder layers and microbatches flow stage-to-stage over ICI via
+``jax.lax.ppermute`` inside ``shard_map``.
+
+Design notes (TPU-first):
+
+- The layer stack is homogeneous (post-LN blocks, models/transformer.py), so
+  per-stage parameters are ONE stacked pytree sharded on its leading (layer)
+  dim — each device holds ``num_hidden_layers / n_stages`` layers and runs
+  them with ``lax.scan``; no per-stage Python specialisation, one compiled
+  program for every stage.
+- The schedule is a single ``lax.scan`` over ``M + n_stages - 1`` ticks
+  (M = microbatches). Every tick each stage applies its layers to its
+  current activation and rotates the result one hop along the ring. Bubble
+  ticks compute on zeros and are masked out at ingest/drain — branch-free,
+  static-shape, exactly what XLA wants.
+- The whole schedule is differentiable: JAX transposes ``ppermute`` to the
+  inverse permutation, so ``jax.grad`` through ``pipeline_forward`` IS the
+  reverse pipeline schedule (backward microbatches flow last-stage-first).
+  No hand-written backward pass is needed for pipeline-parallel training.
+- Composes with data parallelism: pass ``batch_axis`` to shard the
+  microbatch dim over a second mesh axis (DP x PP 2D mesh).
+
+The input/output convolutions and positional encoding run outside the
+staged region (they are a few percent of FLOPs and need the full batch),
+mirroring ``models.transformer.forward``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ._shard_map import shard_map
+
+from ..models import transformer
+from ..ops.masking import mask_from_lengths
+
+
+def stack_layer_params(layers):
+    """Stack the per-layer param dicts into one pytree with a leading
+    (num_layers, ...) dim — shardable over the 'pipe' mesh axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def pipeline_forward(
+    params,
+    features,
+    lengths,
+    config,
+    mesh: Mesh,
+    axis: str = 'pipe',
+    batch_axis: str = None,
+    num_microbatches: int = None,
+):
+    """Transformer forward with encoder layers pipelined over ``axis``.
+
+    features: (B, C_in, T) with T <= config.max_len. ``num_hidden_layers``
+    must divide evenly into ``mesh.shape[axis]`` stages and B into
+    ``num_microbatches`` (default: one microbatch per stage). Matches
+    ``models.transformer.forward`` numerics on the XLA inference path.
+    """
+    n = mesh.shape[axis]
+    layers = params['layers']
+    if len(layers) % n:
+        raise ValueError(
+            f'num_hidden_layers={len(layers)} must divide evenly over '
+            f'{n} pipeline stages')
+    B, _, T = features.shape
+    M = num_microbatches or n
+    if B % M:
+        raise ValueError(f'batch {B} must divide into {M} microbatches')
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    param_dtype = params['input_conv']['weight'].dtype
+    x = features.astype(param_dtype).transpose(0, 2, 1)       # (B, T, C_in)
+    mask = mask_from_lengths(lengths, T)                      # (B, T)
+
+    # Input conv + positional encoding (outside the staged region)
+    x = transformer.conv1d_same(
+        x, params['input_conv']['weight'], params['input_conv']['bias'])
+    x = x * mask[..., None]
+    pe = transformer.positional_encoding(
+        config.max_len, config.hidden_channels)[:T]
+    x = x + pe[None]
+
+    # Microbatch split: (M, B/M, T, C)
+    xm = x.reshape(M, B // M, T, x.shape[-1])
+    maskm = mask.reshape(M, B // M, T)
+    stacked = stack_layer_params(layers)
+
+    body = functools.partial(
+        _stage_body, axis=axis, n=n, m=M, heads=config.attention_heads,
+        causal=config.is_causal, compute_dtype=compute_dtype)
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(None, batch_axis), P(None, batch_axis)),
+        out_specs=P(None, batch_axis),
+        check_rep=False)(stacked, xm, maskm)
+    x = out.reshape(B, T, -1)
+
+    # Output conv + mask (outside the staged region)
+    x = transformer.conv1d_same(
+        x, params['output_conv']['weight'], params['output_conv']['bias'])
+    x = x * mask[..., None]
+    return x.transpose(0, 2, 1)                               # (B, C_out, T)
+
+
+def _stage_body(stacked, x_mb, mask_mb, *, axis, n, m, heads, causal,
+                compute_dtype):
+    """Per-stage GPipe schedule. ``stacked`` is this stage's local
+    (layers_per_stage, ...) slice; ``x_mb``/``mask_mb`` are the full
+    (M, mb, T, C)/(M, mb, T) microbatch arrays (replicated over ``axis``)."""
+    stage = jax.lax.axis_index(axis)
+    ring = [(i, (i + 1) % n) for i in range(n)]
+
+    def apply_local_layers(x, mask):
+        def layer_step(h, layer):
+            h = transformer._encoder_layer(
+                h, layer, mask, causal, heads, [None] * 4, 0.0,
+                compute_dtype, None)
+            return h, None
+        x, _ = jax.lax.scan(layer_step, x, stacked)
+        return x
+
+    def tick(carry, t):
+        state, out_buf = carry
+        # Stage 0 ingests microbatch t; later stages use the incoming ring
+        # activation. Bubble ticks (mb out of range) compute on stale data
+        # and are masked at the write below.
+        ingest = jnp.clip(t, 0, m - 1)
+        inp = jnp.where(stage == 0, x_mb[ingest], state)
+        mb = t - stage                      # microbatch this stage holds now
+        mbc = jnp.clip(mb, 0, m - 1)
+        y = apply_local_layers(inp, mask_mb[mbc])
+        write = (mb >= 0) & (mb < m) & (stage == n - 1)
+        out_buf = out_buf.at[mbc].set(jnp.where(write, y, out_buf[mbc]))
+        state = jax.lax.ppermute(y, axis, ring)
+        return (state, out_buf), None
+
+    init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
+    (_, out_buf), _ = jax.lax.scan(tick, init, jnp.arange(m + n - 1))
+    # Only the last stage's buffer holds results; psum replicates it
+    out_buf = jnp.where(stage == n - 1, out_buf, jnp.zeros_like(out_buf))
+    return jax.lax.psum(out_buf, axis)
