@@ -310,7 +310,12 @@ def from_dataloader(
                     pending.append(save_pool.submit(
                         np.save, out, host[i, :, :int(feat_lengths[i])]))
             while len(pending) > 100:
-                pending = [f for f in pending if not f.done()]
+                done, not_done = concurrent.futures.wait(
+                    pending,
+                    return_when=concurrent.futures.FIRST_COMPLETED)
+                for f in done:
+                    f.result()
+                pending = list(not_done)
         for f in pending:
             f.result()
     finally:

@@ -96,23 +96,28 @@ def shard_params(params, shardings):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def pad_batch_to_multiple(arrays, batch_axis_size: int):
+def pad_batch_to_multiple(arrays, batch_axis_size: int, fill=0):
     """Pad the leading dim of every array to a multiple of the mesh size.
 
-    Padded rows must be masked by the caller (lengths of 0 produce no valid
-    frames, so metrics/loss ignore them automatically).
+    ``fill`` is a scalar or a pytree (matching ``arrays``) of per-array pad
+    values. Validity is -100-sentinel-based, not length-based (reference
+    ppgs/data/collate.py:45-50): target arrays MUST be padded with -100 so
+    padded rows contribute zero valid frames to loss/metrics — zero-padding
+    targets would score padded rows as (valid, class 0).
     """
     import numpy as np
 
-    def pad(x):
+    def pad(x, value):
         b = x.shape[0]
         target = -(-b // batch_axis_size) * batch_axis_size
         if target == b:
             return x
         widths = [(0, target - b)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x, widths)
+        return np.pad(x, widths, constant_values=value)
 
-    return jax.tree.map(pad, arrays)
+    if not isinstance(fill, (tuple, list, dict)):
+        fill = jax.tree.map(lambda _: fill, arrays)
+    return jax.tree.map(pad, arrays, fill)
 
 
 from .context import (                                        # noqa: E402

@@ -99,9 +99,16 @@ def from_dataloader(
                         host.shape[-1])
                     pending.append(
                         pool.submit(save_masked, host[i], out, valid))
-            # Backpressure (reference: queue > 256 sleep loop)
+            # Backpressure (reference: queue > 256 sleep loop); blocking
+            # wait instead of a spin loop — the host core stays free for
+            # the loader prefetch thread while the device works
             while len(pending) > 256:
-                pending = [f for f in pending if not f.done()]
+                done, not_done = concurrent.futures.wait(
+                    pending,
+                    return_when=concurrent.futures.FIRST_COMPLETED)
+                for f in done:
+                    f.result()
+                pending = list(not_done)
         for f in pending:
             f.result()
 

@@ -8,6 +8,7 @@ GradScaler (bf16 needs no loss scaling). Checkpoints are flat npz pytrees
 with step/epoch; auto-resume picks the latest.
 """
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -304,7 +305,7 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
             for features, targets, lengths in loader_fn('train'):
                 batch = parallel.pad_batch_to_multiple(
                     (np.asarray(features), np.asarray(targets),
-                     np.asarray(lengths)), n_data)
+                     np.asarray(lengths)), n_data, fill=(0, -100, 0))
                 features_d, targets_d, lengths_d = parallel.shard_batch(
                     mesh, batch)
                 rng, step_rng = jax.random.split(rng)
@@ -345,18 +346,23 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     return params
 
 
+@functools.partial(jax.jit, static_argnames=('config',))
+def _eval_forward(params, features, lengths, config):
+    """Module-level jitted eval forward: caches across eval intervals (a
+    fresh lambda per interval would retrace/recompile every 1,000 steps)."""
+    return models.get(config)[1](params, features, lengths, config)
+
+
 def evaluate_partition(writer, step, params, config, loader_fn, partition,
                        mesh, n_data, evaluation_steps=None):
     """Eval pass writing metric scalars (reference train/core.py:288-365)."""
-    forward = jax.jit(
-        lambda p, f, l: models.get(config)[1](p, f, l, config))
     metrics = Metrics(include_figures=True, config=config)
     for i, (features, targets, lengths) in enumerate(loader_fn(partition)):
         batch = parallel.pad_batch_to_multiple(
             (np.asarray(features), np.asarray(targets),
-             np.asarray(lengths)), n_data)
+             np.asarray(lengths)), n_data, fill=(0, -100, 0))
         features_d, targets_d, lengths_d = parallel.shard_batch(mesh, batch)
-        logits = forward(params, features_d, lengths_d)
+        logits = _eval_forward(params, features_d, lengths_d, config)
         metrics.update(logits, targets_d)
         if evaluation_steps is not None and i + 1 == evaluation_steps:
             break

@@ -158,11 +158,77 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_pad_batch_to_multiple():
-    arrays = (np.ones((5, 3)), np.ones((5,)))
-    padded = parallel.pad_batch_to_multiple(arrays, 4)
+    arrays = (np.ones((5, 3)), np.ones((5,), dtype=np.int64))
+    padded = parallel.pad_batch_to_multiple(arrays, 4, fill=(0, -100))
     assert padded[0].shape == (8, 3)
     assert padded[1].shape == (8,)
     assert padded[0][5:].sum() == 0
+    assert (padded[1][5:] == -100).all()
+
+
+def test_padded_batch_loss_and_metrics_invariant():
+    """Padding B=5 -> 8 for a 4-way data mesh must not change the loss or
+    any metric scalar: padded target rows carry the -100 ignore sentinel
+    (zero-filled targets would score padded rows as valid class-0 frames)."""
+    from ppgs_tpu.evaluate.metrics import Metrics
+
+    mesh = parallel.make_mesh(shape=(4,), axis_names=('data',))
+    B, T = 5, 64
+    rng = np.random.default_rng(11)
+    features = rng.standard_normal((B, 80, T)).astype(np.float32)
+    targets = rng.integers(0, 40, size=(B, T)).astype(np.int64)
+    lengths = np.array([64, 50, 33, 8, 64], dtype=np.int64)
+    for i, l in enumerate(lengths):
+        features[i, :, l:] = 0
+        targets[i, l:] = -100
+
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+
+    # Unpadded single-device reference
+    logits_ref = transformer.forward(
+        params, jnp.asarray(features), jnp.asarray(lengths), TINY)
+    loss_ref = float(train_core.loss(logits_ref, jnp.asarray(targets), TINY))
+    metrics_ref = Metrics(config=TINY)
+    metrics_ref.update(logits_ref, targets)
+
+    # Padded, sharded over the 4-way data mesh
+    f, t, l = parallel.pad_batch_to_multiple(
+        (features, targets, lengths), 4, fill=(0, -100, 0))
+    assert f.shape[0] == 8
+    f, t, l = parallel.shard_batch(mesh, (f, t, l))
+    params_r = parallel.replicate(mesh, params)
+    logits_pad = transformer.forward(params_r, f, l, TINY)
+    loss_pad = float(train_core.loss(logits_pad, t, TINY))
+    metrics_pad = Metrics(config=TINY)
+    metrics_pad.update(logits_pad, t)
+
+    assert loss_pad == pytest.approx(loss_ref, rel=1e-6)
+    ref_results = metrics_ref()
+    for key, value in metrics_pad().items():
+        assert value == pytest.approx(ref_results[key], rel=1e-6), key
+
+
+def test_evaluate_partition_no_retrace(tmp_path):
+    """A second eval interval with the same batch shapes must hit the jit
+    cache (the eval forward is module-level, not a per-call lambda)."""
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(0)
+
+    def loader_fn(partition):
+        for _ in range(2):
+            yield (rng.standard_normal((2, 80, 64)).astype('f4'),
+                   rng.integers(0, 40, size=(2, 64)),
+                   np.array([64, 48]))
+
+    mesh = parallel.make_mesh(shape=(1,), axis_names=('data',))
+    writer = train_core.ScalarWriter(tmp_path)
+    train_core.evaluate_partition(
+        writer, 0, params, TINY, loader_fn, 'valid', mesh, 1)
+    size_after_first = train_core._eval_forward._cache_size()
+    train_core.evaluate_partition(
+        writer, 1, params, TINY, loader_fn, 'valid', mesh, 1)
+    assert train_core._eval_forward._cache_size() == size_after_first
+    writer.close()
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
