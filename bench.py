@@ -1,23 +1,62 @@
-"""Benchmark: mel-PPG inference throughput on the real chip.
+"""Benchmark: PPG inference throughput on the real chip.
 
 Measures audio-seconds of speech processed per second per chip through the
-full flagship pipeline (log-mel frontend + 5-layer transformer + softmax),
-end to end on device. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+full flagship pipelines (log-mel + 5-layer transformer, and the wav2vec2
+feature-bottleneck pipeline), end to end on device. Prints one JSON line per
+metric; the HEADLINE metric (mel_ppg_inference_throughput) is printed LAST:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Measurement is device-time by default: N pipeline applications are chained
+inside ONE jitted program (a loop-carried scalar forces sequential
+execution) and the per-application time is the slope fitted over two N —
+host dispatch, tunnel latency, and any runtime result caching cancel
+exactly. The raw dispatch-loop number (what a naive client observes,
+including per-call host overhead) is reported alongside as
+"dispatch_value"; "mfu" is the model-FLOPs utilization implied by the
+compiled program's own cost analysis and the chip's bf16 peak.
 
 The reference publishes no throughput numbers (BASELINE.md): the baseline is
 parity-defined, so vs_baseline defaults to 1.0. The measured path is the
 default config path (bf16 compute + Pallas whole-layer encoder kernels) —
-what ppgs_tpu.from_audio actually runs; parity is enforced by tests/. Set
-PPGS_BENCH_FULL=1 to also measure the XLA-only reference-numerics path and
-report the speedup over it in vs_baseline (adds a second multi-minute
-compile — device compiles ride a slow tunnel in this environment, so the
-default stays single-path for reliability).
+what ppgs_tpu.from_audio actually runs; parity is enforced by tests/.
+
+Env knobs:
+  PPGS_BENCH_W2V2FB=0   skip the w2v2fb metric line (mel only)
+  PPGS_BENCH_FULL=1     also measure the XLA-only reference-numerics path
+                        and report mel speedup over it in vs_baseline
 """
 
 import json
 import os
+import sys
 import time
+
+
+# bf16 peak FLOP/s per chip by device_kind substring (best effort; MFU is
+# omitted when the chip is unrecognized)
+_PEAK_BF16 = [
+    ('v6', 918e12), ('trillium', 918e12),
+    ('v5p', 459e12),
+    ('v5 lite', 197e12), ('v5e', 197e12),
+    ('v4', 275e12),
+    ('v3', 123e12),
+    ('v2', 45e12),
+]
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def _emit(record):
+    print(json.dumps(record))
+    sys.stdout.flush()
 
 
 def main():
@@ -44,9 +83,8 @@ def main():
 
     # Workload: 64 utterances x 8 s audio @16 kHz, generated on device
     # (host->device transfers are slow in this environment). Several
-    # DISTINCT input batches are cycled during timing: repeated dispatch of
-    # an identical (executable, inputs) pair can be served from a cache by
-    # the remote runtime, which would measure dispatch instead of compute.
+    # DISTINCT input batches are cycled in the dispatch-mode loop so a
+    # runtime result cache cannot serve repeats.
     B, seconds, n_inputs = 64, 8, 4
     S = seconds * config.sample_rate
     audios = [
@@ -55,8 +93,9 @@ def main():
         for i in range(n_inputs)
     ]
     jax.block_until_ready(audios)
+    audio_seconds = B * seconds
 
-    def make_pipeline(p):
+    def make_mel_pipeline(p):
         @jax.jit
         def pipeline(audio):
             feats = stft_ops.log_mel_spectrogram(
@@ -69,7 +108,9 @@ def main():
             return jax.nn.softmax(logits, axis=1)
         return pipeline
 
-    def timeit(fn, iters=16):
+    def timeit_dispatch(fn, iters=16):
+        """Wall clock of a host dispatch loop over distinct inputs: what a
+        naive client observes (includes per-call host/tunnel overhead)."""
         fn(audios[0]).block_until_ready()
         start = time.perf_counter()
         outs = [fn(audios[i % n_inputs]) for i in range(iters)]
@@ -99,16 +140,80 @@ def main():
 
         return (run_n(n2) - run_n(n1)) / (n2 - n1)
 
-    audio_seconds = B * seconds
+    def flops_of(fn):
+        try:
+            analysis = fn.lower(audios[0]).compile().cost_analysis()
+            if isinstance(analysis, list):
+                analysis = analysis[0]
+            return float(analysis['flops'])
+        except Exception:
+            return None
 
-    # Default path: the default config (bf16 compute + Pallas whole-stack
-    # kernel), i.e. exactly what ppgs_tpu.from_audio runs. Parity with the
-    # reference numerics is enforced by tests/, not by the benchmark.
-    # PPGS_BENCH_CHAINED=1 measures via N-chained applications inside one
-    # program (immune to dispatch overhead and runtime result caching).
-    measure = (timeit_chained if os.environ.get('PPGS_BENCH_CHAINED')
-               else timeit)
-    value = audio_seconds / measure(make_pipeline(params))
+    peak = _peak_flops()
+
+    def measure(fn):
+        """-> dict with device-time throughput (the value), dispatch-loop
+        throughput, per-application device ms, and MFU when computable."""
+        t_device = timeit_chained(fn)
+        t_dispatch = timeit_dispatch(fn)
+        extras = {
+            'dispatch_value': round(audio_seconds / t_dispatch, 2),
+            'device_ms_per_batch': round(t_device * 1e3, 3),
+        }
+        flops = flops_of(fn)
+        if flops is not None and peak is not None and t_device > 0:
+            extras['mfu'] = round(flops / t_device / peak, 4)
+        return audio_seconds / t_device, extras
+
+    # --- w2v2fb pipeline (second BASELINE.md metric) -----------------------
+    # Random-init wav2vec2-base weights: identical FLOPs/memory traffic to
+    # the converted HF checkpoint (which is network-gated in CI).
+    if os.environ.get('PPGS_BENCH_W2V2FB', '1') != '0':
+        try:
+            from ppgs_tpu.models import w2v2
+            from ppgs_tpu.preprocess import w2v2fb as w2v2fb_mod
+
+            w2v2fb_config = ppgs_tpu.config.REGISTRY['w2v2fb']
+            w2v2_params = w2v2.init(jax.random.PRNGKey(2))
+            head_params = transformer.init(
+                jax.random.PRNGKey(3), w2v2fb_config)
+            out_frames = S // config.hopsize
+
+            @jax.jit
+            def w2v2fb_pipeline(audio):
+                padded = jnp.pad(
+                    audio,
+                    ((0, 0), (0, 0), (w2v2fb_mod.PAD, w2v2fb_mod.PAD))
+                ).squeeze(1)
+                lengths = jnp.full((audio.shape[0],), padded.shape[-1],
+                                   jnp.int32)
+                hidden = w2v2.forward(w2v2_params, padded, lengths)
+                hidden = hidden.transpose(0, 2, 1)
+                idx = jnp.asarray(w2v2fb_mod.nearest_upsample_indices(
+                    hidden.shape[-1], out_frames))
+                feats = hidden[..., idx]
+                feat_lengths = jnp.full((audio.shape[0],), out_frames,
+                                        jnp.int32)
+                logits = transformer.chunked_forward(
+                    head_params, feats, feat_lengths, w2v2fb_config)
+                return jax.nn.softmax(logits, axis=1)
+
+            value, extras = measure(w2v2fb_pipeline)
+            _emit({
+                'metric': 'w2v2fb_ppg_inference_throughput',
+                'value': round(value, 2),
+                'unit': 'audio_seconds_per_second_per_chip',
+                'vs_baseline': 1.0,
+                **extras,
+            })
+        except Exception as error:
+            _emit({'metric': 'w2v2fb_ppg_inference_throughput',
+                   'value': 0, 'unit': 'audio_seconds_per_second_per_chip',
+                   'vs_baseline': 0.0,
+                   'error': f'{type(error).__name__}: {error}'})
+
+    # --- mel pipeline (headline metric; printed last) ----------------------
+    value, extras = measure(make_mel_pipeline(params))
 
     vs_baseline = 1.0
     if os.environ.get('PPGS_BENCH_FULL'):
@@ -117,17 +222,19 @@ def main():
         # Adds a second multi-minute compile over the tunnel.
         os.environ['PPGS_TPU_DISABLE_FLASH'] = '1'
         try:
-            xla_only = audio_seconds / timeit(make_pipeline(params))
+            xla_only = audio_seconds / timeit_chained(
+                make_mel_pipeline(params))
         finally:
             del os.environ['PPGS_TPU_DISABLE_FLASH']
         vs_baseline = value / xla_only
 
-    print(json.dumps({
+    _emit({
         'metric': 'mel_ppg_inference_throughput',
         'value': round(value, 2),
         'unit': 'audio_seconds_per_second_per_chip',
         'vs_baseline': round(vs_baseline, 3),
-    }))
+        **extras,
+    })
 
 
 if __name__ == '__main__':

@@ -105,6 +105,14 @@ def infer(
 
     params, config = _get_model(representation, checkpoint, base_config)
 
+    # Codebook FRONTEND: encodec/dac features are cached int codes;
+    # dequantize to latents on device (reference ppgs/core.py:105-115)
+    if (config.frontend is not None
+            and representation == config.representation):
+        from . import frontend as frontend_mod
+
+        features = frontend_mod.make_frontend(config.frontend)(features)
+
     features = jnp.asarray(features)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     B, C, T = features.shape

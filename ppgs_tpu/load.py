@@ -91,9 +91,16 @@ def model(checkpoint=None, representation=None, config=None):
         elif representation == 'mel':
             config = config_mod.REGISTRY['mel']
         else:
-            raise ValueError(
-                'Supplying representation directly only supported '
-                'for w2v2fb and mel')
+            # Beyond the reference (which raises here, ppgs/load.py:44-46):
+            # any registry experiment with a matching representation
+            # supplies the model hyperparameters.
+            matches = [c for c in config_mod.REGISTRY.values()
+                       if c.representation == representation]
+            if not matches:
+                raise ValueError(
+                    f'No registered config uses representation '
+                    f'{representation!r}; supply a config explicitly')
+            config = matches[0]
 
     if checkpoint is None and config.local_checkpoint is not None:
         checkpoint = config.local_checkpoint
@@ -122,6 +129,10 @@ def model(checkpoint=None, representation=None, config=None):
         params = {k: _to_jnp(v) for k, v in params.items()}
     else:
         params = load_params(checkpoint)
+        # Training checkpoints nest model params next to optimizer state,
+        # like the reference's 'model'-keyed state dicts (ppgs/load.py:76-79)
+        if isinstance(params, dict) and 'params' in params:
+            params = params['params']
     return params, config
 
 

@@ -87,10 +87,19 @@ def gradient_stats(grads):
 def make_train_step(config, optimizer, class_weights=None):
     forward = models.get(config)[1]
 
+    # Codebook FRONTEND: encodec/dac cache int codes; dequantize on device
+    # inside the jitted step (reference ppgs/train/core.py:115-119)
+    from .. import frontend as frontend_mod
+
+    codebook_frontend = frontend_mod.maybe_frontend(config)
+
     clip_l2 = config.gradient_clip_threshold_l2
     clip_inf = config.gradient_clip_threshold_inf
 
     def step_fn(params, opt_state, features, targets, lengths, rng):
+        if codebook_frontend is not None:
+            features = codebook_frontend(features)
+
         def loss_fn(p):
             logits = forward(p, features, lengths, config, train=True,
                              rng=rng)
@@ -349,7 +358,13 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
 @functools.partial(jax.jit, static_argnames=('config',))
 def _eval_forward(params, features, lengths, config):
     """Module-level jitted eval forward: caches across eval intervals (a
-    fresh lambda per interval would retrace/recompile every 1,000 steps)."""
+    fresh lambda per interval would retrace/recompile every 1,000 steps).
+    Codebook configs dequantize int codes first (codebooks constant-fold
+    into the compiled program)."""
+    if config.frontend is not None:
+        from .. import frontend as frontend_mod
+
+        features = frontend_mod.maybe_frontend(config)(features)
     return models.get(config)[1](params, features, lengths, config)
 
 

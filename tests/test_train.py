@@ -208,6 +208,22 @@ def test_padded_batch_loss_and_metrics_invariant():
         assert value == pytest.approx(ref_results[key], rel=1e-6), key
 
 
+def test_load_model_from_training_checkpoint(tmp_path):
+    """load.model unwraps training checkpoints (params next to optimizer
+    state), like the reference's 'model'-keyed dicts (ppgs/load.py:76-79)."""
+    from ppgs_tpu import load as load_mod
+
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+    optimizer = train_core.make_optimizer(TINY)
+    opt_state = optimizer.init(params)
+    path = train_core.checkpoint_state(tmp_path, 7, 1, params, opt_state)
+
+    loaded, _ = load_mod.model(checkpoint=path, config=TINY)
+    assert 'input_conv' in loaded and 'opt_state' not in loaded
+    np.testing.assert_allclose(
+        loaded['input_conv']['weight'], params['input_conv']['weight'])
+
+
 def test_evaluate_partition_no_retrace(tmp_path):
     """A second eval interval with the same batch shapes must hit the jit
     cache (the eval forward is module-level, not a per-call lambda)."""
