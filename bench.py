@@ -8,12 +8,13 @@ metric; the HEADLINE metric (mel_ppg_inference_throughput) is printed LAST:
 
 Measurement is device-time by default: N pipeline applications are chained
 inside ONE jitted program (a loop-carried scalar forces sequential
-execution) and the per-application time is the slope fitted over two N —
-host dispatch, tunnel latency, and any runtime result caching cancel
-exactly. The raw dispatch-loop number (what a naive client observes,
-including per-call host overhead) is reported alongside as
-"dispatch_value"; "mfu" is the model-FLOPs utilization implied by the
-compiled program's own cost analysis and the chip's bf16 peak.
+execution; N is a traced argument so both chain lengths share one compile)
+and the per-application time is the slope fitted over two N — host
+dispatch, tunnel latency, and any runtime result caching cancel exactly.
+The raw dispatch-loop number (what a naive client observes, including
+per-call host overhead) is reported alongside as "dispatch_value"; "mfu" is
+the model-FLOPs utilization implied by the compiled program's own cost
+analysis and the chip's bf16 peak.
 
 The reference publishes no throughput numbers (BASELINE.md): the baseline is
 parity-defined, so vs_baseline defaults to 1.0. The measured path is the
@@ -21,9 +22,13 @@ default config path (bf16 compute + Pallas whole-layer encoder kernels) —
 what ppgs_tpu.from_audio actually runs; parity is enforced by tests/.
 
 Env knobs:
-  PPGS_BENCH_W2V2FB=0   skip the w2v2fb metric line (mel only)
-  PPGS_BENCH_FULL=1     also measure the XLA-only reference-numerics path
-                        and report mel speedup over it in vs_baseline
+  PPGS_BENCH_W2V2FB=0       skip the w2v2fb metric line (mel only)
+  PPGS_BENCH_BUDGET_S=480   wall-clock budget; w2v2fb is attempted only if
+                            enough budget remains after mel (its cold
+                            compile over the device tunnel takes minutes —
+                            warm .jax_cache runs take seconds)
+  PPGS_BENCH_FULL=1         also measure the XLA-only reference-numerics
+                            path; report mel speedup over it in vs_baseline
 """
 
 import json
@@ -54,12 +59,10 @@ def _peak_flops():
     return None
 
 
-def _emit(record):
-    print(json.dumps(record))
-    sys.stdout.flush()
-
-
 def main():
+    t_start = time.time()
+    budget = float(os.environ.get('PPGS_BENCH_BUDGET_S', 480))
+
     import jax
 
     # Persistent compilation cache: device compiles ride a slow tunnel in
@@ -121,20 +124,21 @@ def main():
         """Device-side time per pipeline application: chain N applications
         inside ONE jitted program (a loop-carried scalar forces sequential
         execution) and fit the slope over two N — dispatch/tunnel overheads
-        and any runtime result caching cancel."""
-        def run_n(n):
-            @jax.jit
-            def many(audio):
-                def body(i, acc):
-                    out = fn.__wrapped__(audio + acc * 1e-30)
-                    return out.mean().astype(audio.dtype)
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        and any runtime result caching cancel. N is traced, so both chain
+        lengths share a single compiled while-loop program."""
+        @jax.jit
+        def many(audio, n):
+            def body(i, acc):
+                out = fn.__wrapped__(audio + acc * 1e-30)
+                return out.mean().astype(audio.dtype)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-            many(audios[0]).block_until_ready()
+        def run_n(n):
+            many(audios[0], n).block_until_ready()
             best = float('inf')
             for _ in range(3):
                 t0 = time.perf_counter()
-                many(audios[0]).block_until_ready()
+                many(audios[0], n).block_until_ready()
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -165,10 +169,31 @@ def main():
             extras['mfu'] = round(flops / t_device / peak, 4)
         return audio_seconds / t_device, extras
 
+    # --- mel pipeline (headline metric; measured first, printed last) ------
+    mel_value, mel_extras = measure(make_mel_pipeline(params))
+
+    vs_baseline = 1.0
+    if os.environ.get('PPGS_BENCH_FULL'):
+        # Additionally measure the XLA-only reference-numerics path
+        # (Pallas kernels disabled) and report the speedup over it.
+        # Adds a second multi-minute compile over the tunnel.
+        os.environ['PPGS_TPU_DISABLE_FLASH'] = '1'
+        try:
+            xla_only = audio_seconds / timeit_chained(
+                make_mel_pipeline(params))
+        finally:
+            del os.environ['PPGS_TPU_DISABLE_FLASH']
+        vs_baseline = mel_value / xla_only
+
     # --- w2v2fb pipeline (second BASELINE.md metric) -----------------------
     # Random-init wav2vec2-base weights: identical FLOPs/memory traffic to
-    # the converted HF checkpoint (which is network-gated in CI).
-    if os.environ.get('PPGS_BENCH_W2V2FB', '1') != '0':
+    # the converted HF checkpoint (which is network-gated in CI). Attempted
+    # only when enough wall-clock budget remains: its cold compile over the
+    # tunnel takes minutes, and the headline mel line must always print.
+    lines = []
+    elapsed = time.time() - t_start
+    if (os.environ.get('PPGS_BENCH_W2V2FB', '1') != '0'
+            and elapsed < budget * 0.45):
         try:
             from ppgs_tpu.models import w2v2
             from ppgs_tpu.preprocess import w2v2fb as w2v2fb_mod
@@ -199,7 +224,7 @@ def main():
                 return jax.nn.softmax(logits, axis=1)
 
             value, extras = measure(w2v2fb_pipeline)
-            _emit({
+            lines.append({
                 'metric': 'w2v2fb_ppg_inference_throughput',
                 'value': round(value, 2),
                 'unit': 'audio_seconds_per_second_per_chip',
@@ -207,34 +232,23 @@ def main():
                 **extras,
             })
         except Exception as error:
-            _emit({'metric': 'w2v2fb_ppg_inference_throughput',
-                   'value': 0, 'unit': 'audio_seconds_per_second_per_chip',
-                   'vs_baseline': 0.0,
-                   'error': f'{type(error).__name__}: {error}'})
+            lines.append({
+                'metric': 'w2v2fb_ppg_inference_throughput',
+                'value': 0,
+                'unit': 'audio_seconds_per_second_per_chip',
+                'vs_baseline': 0.0,
+                'error': f'{type(error).__name__}: {error}'})
 
-    # --- mel pipeline (headline metric; printed last) ----------------------
-    value, extras = measure(make_mel_pipeline(params))
-
-    vs_baseline = 1.0
-    if os.environ.get('PPGS_BENCH_FULL'):
-        # Additionally measure the XLA-only reference-numerics path
-        # (Pallas kernels disabled) and report the speedup over it.
-        # Adds a second multi-minute compile over the tunnel.
-        os.environ['PPGS_TPU_DISABLE_FLASH'] = '1'
-        try:
-            xla_only = audio_seconds / timeit_chained(
-                make_mel_pipeline(params))
-        finally:
-            del os.environ['PPGS_TPU_DISABLE_FLASH']
-        vs_baseline = value / xla_only
-
-    _emit({
+    lines.append({
         'metric': 'mel_ppg_inference_throughput',
-        'value': round(value, 2),
+        'value': round(mel_value, 2),
         'unit': 'audio_seconds_per_second_per_chip',
         'vs_baseline': round(vs_baseline, 3),
-        **extras,
+        **mel_extras,
     })
+    for record in lines:
+        print(json.dumps(record))
+    sys.stdout.flush()
 
 
 if __name__ == '__main__':

@@ -9,6 +9,8 @@ under EVAL_DIR/<config>/.
 import json
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import config as config_mod
@@ -18,9 +20,16 @@ from ..utils import notify as _notify_mod
 
 @_notify_mod.notify("evaluate")
 def datasets(names=None, checkpoint=None, config=None, max_batches=None):
-    """Evaluate on datasets' test partitions; returns the results dict."""
+    """Evaluate on datasets' test partitions; returns the results dict.
+
+    Multi-host: each process evaluates every process_count-th batch of the
+    stream (per-utterance inference needs no step alignment) and the pure
+    sum accumulators are merged with one allgather per dataset, so metrics
+    are exact for any process split.
+    """
     from .. import from_features
     from ..data import loader as data_loader
+    from ..parallel import multihost
 
     config = config_mod.get(config)
     names = names or list(config.datasets)
@@ -36,24 +45,29 @@ def datasets(names=None, checkpoint=None, config=None, max_batches=None):
             name, 'test',
             features=[config.representation, 'phonemes', 'length'],
             config=config)
-        for i, batch in enumerate(ldr):
+        for i, batch in enumerate(multihost.shard_iterator(ldr)):
             features, indices, lengths = batch[:3]
             logits = from_features(
                 features, lengths, checkpoint=checkpoint, softmax=False,
                 config=config)
             metrics.update(logits, indices)
-            aggregate.update(logits, indices)
             if max_batches is not None and i + 1 >= max_batches:
                 break
+        metrics.state = multihost.aggregate_across_processes(metrics.state)
+        aggregate.state = jax.tree.map(
+            lambda a, d: a + d, aggregate.state,
+            jax.tree.map(jnp.asarray, metrics.state))
         results[name] = {
             k: v for k, v in metrics().items()
             if isinstance(v, (int, float))}
-        save(results[name], eval_dir / f'{name}.json')
+        if multihost.is_primary():
+            save(results[name], eval_dir / f'{name}.json')
 
     results['aggregate'] = {
         k: v for k, v in aggregate().items()
         if isinstance(v, (int, float))}
-    save(results['aggregate'], eval_dir / 'overall.json')
+    if multihost.is_primary():
+        save(results['aggregate'], eval_dir / 'overall.json')
     return results
 
 

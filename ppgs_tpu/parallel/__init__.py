@@ -128,3 +128,4 @@ from .pipeline import (                                        # noqa: E402
     pipeline_forward,
     stack_layer_params,
 )
+from . import multihost                                        # noqa: E402

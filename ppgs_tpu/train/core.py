@@ -251,15 +251,19 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     overrides the default dataset loader (used by tests/benchmarks).
     """
     from ..data import loader as data_loader
+    from ..parallel import multihost
 
     config = config_mod.get(config)
     directory = Path(directory or config_mod.RUNS_DIR / config.config)
     directory.mkdir(parents=True, exist_ok=True)
     steps = max_steps or config.steps
 
+    # Multi-host: env-driven jax.distributed bring-up (no-op single-process),
+    # then a global DCN x ICI mesh whose leading axis spans processes
+    multihost.initialize()
     if mesh is None:
-        mesh = parallel.make_mesh(
-            shape=config.mesh_shape, axis_names=config.mesh_axis_names)
+        mesh = multihost.make_hybrid_mesh(
+            config.mesh_shape, config.mesh_axis_names)
     n_data = mesh.shape.get('data', 1)
 
     # Model + optimizer. Param init uses the default (threefry) PRNG for
@@ -287,9 +291,9 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     else:
         step, epoch = 0, 0
 
-    # Replicate state over the mesh
-    params = parallel.replicate(mesh, params)
-    opt_state = parallel.replicate(mesh, opt_state)
+    # Replicate state over the (possibly multi-process) mesh
+    params = multihost.replicate_global(mesh, params)
+    opt_state = multihost.replicate_global(mesh, opt_state)
 
     if loader_fn is None:
         train_loader = data_loader(dataset, 'train', config=config)
@@ -305,24 +309,29 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
         train_loader = None
         loader_fn_uses_sampler = False
 
-    writer = ScalarWriter(directory)
+    # Host side effects (metric logs, checkpoints) belong to process 0
+    writer = ScalarWriter(directory) if multihost.is_primary() else None
 
     try:
         while step < steps:
             if loader_fn_uses_sampler:
                 train_loader.batch_sampler.set_epoch(epoch)
             for features, targets, lengths in loader_fn('train'):
+                # Every process materializes the same global batch and
+                # feeds only its local block: multi-host runs are
+                # step-for-step identical to single-process
                 batch = parallel.pad_batch_to_multiple(
                     (np.asarray(features), np.asarray(targets),
                      np.asarray(lengths)), n_data, fill=(0, -100, 0))
-                features_d, targets_d, lengths_d = parallel.shard_batch(
-                    mesh, batch)
+                features_d, targets_d, lengths_d = (
+                    multihost.shard_global_batch(
+                        mesh, multihost.local_slice(batch)))
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, train_loss, stats = step_fn(
                     params, opt_state, features_d, targets_d, lengths_d,
                     step_rng)
 
-                if step % 100 == 0:
+                if step % 100 == 0 and writer is not None:
                     scalars = {'train/loss': float(train_loss)}
                     scalars.update(
                         {k: float(v) for k, v in stats.items()})
@@ -335,7 +344,8 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
                         config.default_evaluation_steps
                         if step < steps else None)
 
-                if step and step % config.checkpoint_interval == 0:
+                if (step and step % config.checkpoint_interval == 0
+                        and multihost.is_primary()):
                     checkpoint_state(directory, step, epoch, params,
                                      opt_state, backend)
 
@@ -346,11 +356,14 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     except KeyboardInterrupt:
         pass
     finally:
-        checkpoint_state(directory, step, epoch, params, opt_state, backend)
-        if backend == 'orbax':
-            from . import checkpoint as ckpt_mod
-            ckpt_mod.wait_until_finished(directory)
-        writer.close()
+        if multihost.is_primary():
+            checkpoint_state(directory, step, epoch, params, opt_state,
+                             backend)
+            if backend == 'orbax':
+                from . import checkpoint as ckpt_mod
+                ckpt_mod.wait_until_finished(directory)
+        if writer is not None:
+            writer.close()
 
     return params
 
@@ -370,13 +383,22 @@ def _eval_forward(params, features, lengths, config):
 
 def evaluate_partition(writer, step, params, config, loader_fn, partition,
                        mesh, n_data, evaluation_steps=None):
-    """Eval pass writing metric scalars (reference train/core.py:288-365)."""
+    """Eval pass writing metric scalars (reference train/core.py:288-365).
+
+    Under multi-host execution every process walks the same loader stream
+    and feeds its local block of each global batch; the jitted metric
+    update reduces over the sharded batch axis, so the accumulated state is
+    already the exact global sum (no end-of-pass aggregation needed).
+    """
+    from ..parallel import multihost
+
     metrics = Metrics(include_figures=True, config=config)
     for i, (features, targets, lengths) in enumerate(loader_fn(partition)):
         batch = parallel.pad_batch_to_multiple(
             (np.asarray(features), np.asarray(targets),
              np.asarray(lengths)), n_data, fill=(0, -100, 0))
-        features_d, targets_d, lengths_d = parallel.shard_batch(mesh, batch)
+        features_d, targets_d, lengths_d = multihost.shard_global_batch(
+            mesh, multihost.local_slice(batch))
         logits = _eval_forward(params, features_d, lengths_d, config)
         metrics.update(logits, targets_d)
         if evaluation_steps is not None and i + 1 == evaluation_steps:
@@ -390,7 +412,8 @@ def evaluate_partition(writer, step, params, config, loader_fn, partition,
     figures = {
         f'{partition}/{k}': v for k, v in results.items()
         if not isinstance(v, (int, float))}
-    writer.update(step, scalars, figures)
+    if writer is not None:
+        writer.update(step, scalars, figures)
     for figure in figures.values():
         import matplotlib.pyplot as plt
         plt.close(figure)

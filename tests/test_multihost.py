@@ -1,0 +1,156 @@
+"""Multi-host execution tests (SURVEY.md §5 distributed backend).
+
+Two real jax.distributed processes on localhost (2 local CPU devices each ->
+a 4-device global mesh over a simulated DCN boundary), compared against the
+same workload single-process. This is the standard JAX multi-process CPU
+pattern substituting for multi-host TPU hardware.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+
+WORKER = Path(__file__).parent / 'multihost_worker.py'
+
+
+def _free_port():
+    sock = socket.socket()
+    sock.bind(('localhost', 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    return port
+
+
+@pytest.fixture(scope='module')
+def two_process_results(tmp_path_factory):
+    """Launch the 2-process distributed run once; reuse across tests."""
+    tmp_path = tmp_path_factory.mktemp('multihost')
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env['PYTHONPATH'] = str(Path(__file__).parents[1])
+        env['PPGS_COORDINATOR'] = f'localhost:{port}'
+        env['PPGS_NUM_PROCESSES'] = '2'
+        env['PPGS_PROCESS_ID'] = str(pid)
+        env['PPGS_MH_OUT'] = str(tmp_path / f'result{pid}.json')
+        env['PPGS_MH_DIR'] = str(tmp_path / 'run')   # shared run directory
+        procs.append(subprocess.Popen(
+            [sys.executable, str(WORKER)], env=env,
+            cwd=str(Path(__file__).parents[1]),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out.decode(errors='replace'))
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f'worker failed:\n{out}'
+
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f'result{pid}.json') as file:
+            results.append(json.load(file))
+        results[pid]['params'] = dict(
+            np.load(tmp_path / f'result{pid}.npz'))
+    return tmp_path, results
+
+
+def test_two_processes_see_global_mesh(two_process_results):
+    _, results = two_process_results
+    assert all(r['process_count'] == 2 for r in results)
+
+
+def test_multihost_train_matches_single_process(
+        two_process_results, tmp_path):
+    """3 train steps over 2 processes x 2 devices == single-process run."""
+    sys.path.insert(0, str(WORKER.parent))
+    try:
+        import multihost_worker
+    finally:
+        sys.path.pop(0)
+
+    from ppgs_tpu import parallel
+
+    # Single-process reference on a 4-device mesh (same global size)
+    mesh = parallel.make_mesh(
+        devices=jax.devices()[:4], shape=(4,), axis_names=('data',))
+    flat_ref, scalars_ref = multihost_worker.run(
+        str(tmp_path / 'single'), mesh=mesh)
+
+    for pid in range(2):
+        _, results = two_process_results
+        flat_mh = results[pid]['params']
+        assert set(flat_mh) == set(flat_ref)
+        # Adam updates are O(lr)=2e-4/step; cross-process (Gloo) reduction
+        # order shifts them by ~1e-5 over 3 steps (same envelope as the
+        # single-process DP test in test_train.py)
+        for key in flat_ref:
+            np.testing.assert_allclose(
+                flat_mh[key], np.asarray(flat_ref[key]),
+                rtol=5e-3, atol=3e-5, err_msg=key)
+        for key, value in scalars_ref.items():
+            assert results[pid]['scalars'][key] == pytest.approx(
+                value, rel=1e-3, abs=1e-5), key
+
+
+def test_multihost_metric_aggregation_exact(two_process_results):
+    """Disjoint per-process metric accumulation + allgather == full batch."""
+    sys.path.insert(0, str(WORKER.parent))
+    try:
+        import multihost_worker
+    finally:
+        sys.path.pop(0)
+
+    from ppgs_tpu.evaluate.metrics import Metrics
+
+    # Full-batch reference (single process)
+    config = multihost_worker.make_config()
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((4, 40, 64)).astype('f4')
+    targets = rng.integers(0, 40, size=(4, 64)).astype(np.int64)
+    targets[:, 50:] = -100
+    metrics = Metrics(config=config)
+    metrics.update(logits, targets)
+    expected = {k: v for k, v in metrics().items()
+                if isinstance(v, (int, float))}
+
+    _, results = two_process_results
+    for pid in range(2):
+        got = results[pid]['aggregated_metrics']
+        assert set(got) == set(expected)
+        for key, value in expected.items():
+            assert got[key] == pytest.approx(value, rel=1e-6, abs=1e-9), key
+
+
+def test_shard_iterator_single_process_passthrough():
+    from ppgs_tpu.parallel import multihost
+
+    assert list(multihost.shard_iterator(range(5))) == [0, 1, 2, 3, 4]
+
+
+def test_local_slice_single_process_identity():
+    from ppgs_tpu.parallel import multihost
+
+    tree = (np.arange(8), np.ones((8, 3)))
+    out = multihost.local_slice(tree)
+    assert out[0] is tree[0] and out[1] is tree[1]
+
+
+def test_hybrid_mesh_single_process():
+    from ppgs_tpu.parallel import multihost
+
+    mesh = multihost.make_hybrid_mesh((-1,), ('data',))
+    assert mesh.shape['data'] == len(jax.devices())
+    mesh2d = multihost.make_hybrid_mesh((-1, 2), ('data', 'model'))
+    assert mesh2d.shape['model'] == 2
+    assert mesh2d.shape['data'] == len(jax.devices()) // 2
