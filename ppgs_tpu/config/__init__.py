@@ -85,6 +85,8 @@ class Config:
     similarity_exponent: float = 1.2
 
     # TPU-specific parameters (no reference equivalent)
+    batched_test_eval: bool = True      # frame-budget test batches (exact;
+                                        # False = reference batch-1 parity)
     compute_dtype: str = 'bfloat16'     # matmul dtype inside the encoder
     param_dtype: str = 'float32'
     checkpoint_backend: str = 'npz'     # 'npz' | 'orbax' (async saves)

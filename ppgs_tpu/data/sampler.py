@@ -17,6 +17,9 @@ def sampler(dataset, partition, config=None):
     if partition.startswith('train') or partition.startswith('valid'):
         return Sampler(dataset, config.max_training_frames, config)
     if partition.startswith('test'):
+        if config.batched_test_eval:
+            return BatchedSequentialSampler(
+                dataset, config.max_inference_frames)
         return SequentialSampler(dataset)
     raise ValueError(f'Partition {partition} is not defined')
 
@@ -32,6 +35,46 @@ class SequentialSampler:
 
     def __len__(self):
         return self.n
+
+    def set_epoch(self, epoch):
+        pass
+
+
+class BatchedSequentialSampler:
+    """Frame-budget test batches grouped by QUANTIZED padded length.
+
+    TPU-first redesign of the reference's batch-1 sequential test sampler
+    (ppgs/data/sampler.py:18-22): metrics are order-invariant sums, so N
+    utterances issue ~N/batch device dispatches instead of N. Grouping by
+    the collate quantization bucket means every utterance in a batch pads to
+    the SAME frames as it would alone — batched logits are bit-identical to
+    batch-1 (same tensor extent, same chunking decision), and each (B, T)
+    group reuses one compiled program (batches are emitted at a fixed size
+    per group, so at most two geometries compile per length bucket).
+    """
+
+    def __init__(self, dataset, max_frames=None, frame_multiple=100,
+                 config=None):
+        config = config_mod.get(config)
+        self.max_frames = max_frames or config.max_inference_frames
+        groups = {}
+        for index, length in enumerate(dataset.lengths):
+            from .collate import quantize
+
+            groups.setdefault(quantize(length, frame_multiple),
+                              []).append(index)
+        self.batches = []
+        for qlen in sorted(groups):
+            size = max(1, int(self.max_frames) // qlen)
+            members = groups[qlen]
+            for i in range(0, len(members), size):
+                self.batches.append(members[i:i + size])
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
 
     def set_epoch(self, epoch):
         pass

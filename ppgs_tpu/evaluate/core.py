@@ -34,13 +34,13 @@ def datasets(names=None, checkpoint=None, config=None, max_batches=None):
     config = config_mod.get(config)
     names = names or list(config.datasets)
 
-    aggregate = Metrics(config=config)
+    aggregate = Metrics(include_figures=True, config=config)
     results = {}
     eval_dir = config_mod.EVAL_DIR / config.config
     eval_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
-        metrics = Metrics(config=config)
+        metrics = Metrics(include_figures=True, config=config)
         ldr = data_loader(
             name, 'test',
             features=[config.representation, 'phonemes', 'length'],
@@ -57,20 +57,48 @@ def datasets(names=None, checkpoint=None, config=None, max_batches=None):
         aggregate.state = jax.tree.map(
             lambda a, d: a + d, aggregate.state,
             jax.tree.map(jnp.asarray, metrics.state))
+        full = metrics()
         results[name] = {
-            k: v for k, v in metrics().items()
-            if isinstance(v, (int, float))}
+            k: v for k, v in full.items() if isinstance(v, (int, float))}
         if multihost.is_primary():
             save(results[name], eval_dir / f'{name}.json')
+            save_artifacts(full, metrics.state, name, eval_dir)
 
+    full = aggregate()
     results['aggregate'] = {
-        k: v for k, v in aggregate().items()
-        if isinstance(v, (int, float))}
+        k: v for k, v in full.items() if isinstance(v, (int, float))}
     if multihost.is_primary():
         save(results['aggregate'], eval_dir / 'overall.json')
+        save_artifacts(full, aggregate.state, 'overall', eval_dir)
     return results
 
 
 def save(scalars, path):
     with open(path, 'w') as file:
         json.dump(scalars, file, indent=2, sort_keys=True)
+
+
+def save_artifacts(results, state, name, directory):
+    """Save confusion/distance figures (jpg + pdf) and the raw accumulated
+    tensors under {directory}/{name}/, like the reference's per-dataset
+    artifact dump (ppgs/evaluate/core.py:77-107: figures -> .jpg/.pdf,
+    tensors -> .pt; here tensors are one npz of the metric accumulators)."""
+    fig_dir = Path(directory) / name
+    fig_dir.mkdir(parents=True, exist_ok=True)
+
+    for metric, value in results.items():
+        if isinstance(value, (int, float)):
+            continue
+        stem = metric.replace('/', '-')
+        value.savefig(fig_dir / f'{stem}.jpg',
+                      bbox_inches='tight', pad_inches=0)
+        value.savefig(fig_dir / f'{stem}.pdf',
+                      bbox_inches='tight', pad_inches=0)
+        import matplotlib.pyplot as plt
+
+        plt.close(value)
+
+    tensors = {k: np.asarray(v) for k, v in state.items()
+               if np.ndim(v) >= 1}
+    if tensors:
+        np.savez(fig_dir / 'tensors.npz', **tensors)

@@ -115,6 +115,18 @@ def test_evaluate_datasets(synthetic_dataset, monkeypatch):
     assert (synthetic_dataset / 'eval' / 'mel' / 'tinyset.json').exists()
     assert (synthetic_dataset / 'eval' / 'mel' / 'overall.json').exists()
 
+    # Figure + tensor artifacts per dataset and aggregate
+    # (reference ppgs/evaluate/core.py:77-107)
+    for name in ('tinyset', 'overall'):
+        art = synthetic_dataset / 'eval' / 'mel' / name
+        assert (art / 'ConfusionMatrix.jpg').exists()
+        assert (art / 'ConfusionMatrix.pdf').exists()
+        assert (art / 'DistanceMatrix.jpg').exists()
+        tensors = np.load(art / 'tensors.npz')
+        assert tensors['confusion'].shape == (40, 40)
+        assert tensors['prob_confusion'].shape == (40, 40)
+        assert tensors['distance_matrix'].shape == (40, 40)
+
     # Accuracy plot from the eval results
     from ppgs_tpu import plot
 
@@ -122,3 +134,42 @@ def test_evaluate_datasets(synthetic_dataset, monkeypatch):
     plot.accuracy.from_eval(out, datasets=['tinyset'],
                             representations=['mel'])
     assert out.exists()
+
+
+def test_batched_test_eval_matches_batch1(synthetic_dataset):
+    """Frame-budget test batches (grouped by quantized length) reproduce the
+    reference batch-1 sequential eval: identical counts, near-identical
+    float metrics, fewer device dispatches."""
+    import jax
+
+    from ppgs_tpu import core as core_mod
+    from ppgs_tpu import evaluate, load as load_mod
+    from ppgs_tpu.data import loader as data_loader
+    from ppgs_tpu.models import transformer
+
+    params = transformer.init(jax.random.PRNGKey(0), TINY)
+    ckpt = synthetic_dataset / 'model_b.npz'
+    load_mod.save_params(ckpt, params)
+
+    config_batched = TINY.replace(datasets=('tinyset',))
+    config_batch1 = config_batched.replace(batched_test_eval=False)
+
+    # Both test utterances share the 100-frame quantization bucket:
+    # batched eval issues ONE dispatch where batch-1 issues two
+    assert len(data_loader('tinyset', 'test', config=config_batched)) == 1
+    assert len(data_loader('tinyset', 'test', config=config_batch1)) == 2
+
+    core_mod._MODEL_CACHE.clear()
+    batched = evaluate.datasets(
+        ['tinyset'], checkpoint=ckpt, config=config_batched)
+    batch1 = evaluate.datasets(
+        ['tinyset'], checkpoint=ckpt, config=config_batch1)
+
+    for name in ('tinyset', 'aggregate'):
+        assert set(batched[name]) == set(batch1[name])
+        for key, value in batch1[name].items():
+            if key.startswith('Count/') or key.startswith('Total/'):
+                assert batched[name][key] == value, key
+            else:
+                assert batched[name][key] == pytest.approx(
+                    value, rel=1e-6, abs=1e-9), key
