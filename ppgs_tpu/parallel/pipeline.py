@@ -23,8 +23,20 @@ Design notes (TPU-first):
   inverse permutation, so ``jax.grad`` through ``pipeline_forward`` IS the
   reverse pipeline schedule (backward microbatches flow last-stage-first).
   No hand-written backward pass is needed for pipeline-parallel training.
+- Train mode (``train=True, rng=...``) reproduces the dropout sites of
+  ``models.transformer.forward`` with rngs derived per (layer, microbatch)
+  via ``jax.random.fold_in`` — deterministic for any stage count (but a
+  different stream than the sequential forward's ``split``, so pipelined
+  and unpipelined training runs are not bit-identical under dropout).
 - Composes with data parallelism: pass ``batch_axis`` to shard the
   microbatch dim over a second mesh axis (DP x PP 2D mesh).
+
+Known layout limitation: microbatched activations enter replicated over the
+pipe axis and the output buffer is psum-replicated from the last stage, so
+PP here shards parameters and compute but NOT activation memory, and pays
+an O(output) all-reduce. At this model's scale (d=256, 40 output dims) both
+are noise; revisit (stage-0 ingest + last-stage drain via ppermute) before
+scaling to models where activations dominate.
 
 The input/output convolutions and positional encoding run outside the
 staged region (they are a few percent of FLOPs and need the full batch),
@@ -58,13 +70,17 @@ def pipeline_forward(
     axis: str = 'pipe',
     batch_axis: str = None,
     num_microbatches: int = None,
+    train: bool = False,
+    rng=None,
 ):
     """Transformer forward with encoder layers pipelined over ``axis``.
 
     features: (B, C_in, T) with T <= config.max_len. ``num_hidden_layers``
     must divide evenly into ``mesh.shape[axis]`` stages and B into
     ``num_microbatches`` (default: one microbatch per stage). Matches
-    ``models.transformer.forward`` numerics on the XLA inference path.
+    ``models.transformer.forward`` numerics on the XLA inference path;
+    ``train=True, rng=...`` enables the same dropout sites (fold_in-derived
+    streams — see module docstring).
     """
     n = mesh.shape[axis]
     layers = params['layers']
@@ -76,7 +92,12 @@ def pipeline_forward(
     M = num_microbatches or n
     if B % M:
         raise ValueError(f'batch {B} must divide into {M} microbatches')
+    if batch_axis is not None and (B // M) % mesh.shape[batch_axis]:
+        raise ValueError(
+            f'microbatch size {B // M} must divide over '
+            f"mesh axis {batch_axis!r} ({mesh.shape[batch_axis]} devices)")
 
+    dropout = config.dropout if (train and rng is not None) else 0.0
     compute_dtype = jnp.dtype(config.compute_dtype)
     param_dtype = params['input_conv']['weight'].dtype
     x = features.astype(param_dtype).transpose(0, 2, 1)       # (B, T, C_in)
@@ -89,6 +110,14 @@ def pipeline_forward(
     pe = transformer.positional_encoding(
         config.max_len, config.hidden_channels)[:T]
     x = x + pe[None]
+    if dropout > 0:
+        rng_pe, rng_layers = jax.random.split(rng)
+        x = transformer._dropout(x, rng_pe, dropout)
+        key_data = jax.random.key_data(rng_layers)
+    else:
+        # Placeholder key data (unused when dropout == 0)
+        key_data = jnp.zeros(
+            jax.random.key_data(jax.random.PRNGKey(0)).shape, jnp.uint32)
 
     # Microbatch split: (M, B/M, T, C)
     xm = x.reshape(M, B // M, T, x.shape[-1])
@@ -97,12 +126,13 @@ def pipeline_forward(
 
     body = functools.partial(
         _stage_body, axis=axis, n=n, m=M, heads=config.attention_heads,
-        causal=config.is_causal, compute_dtype=compute_dtype)
+        causal=config.is_causal, compute_dtype=compute_dtype,
+        dropout=dropout)
     out = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(None, batch_axis), P(None, batch_axis)),
+        in_specs=(P(axis), P(None, batch_axis), P(None, batch_axis), P()),
         out_specs=P(None, batch_axis),
-        check_rep=False)(stacked, xm, maskm)
+        check_rep=False)(stacked, xm, maskm, key_data)
     x = out.reshape(B, T, -1)
 
     # Output conv + mask (outside the staged region)
@@ -112,21 +142,37 @@ def pipeline_forward(
     return x.transpose(0, 2, 1)                               # (B, C_out, T)
 
 
-def _stage_body(stacked, x_mb, mask_mb, *, axis, n, m, heads, causal,
-                compute_dtype):
+def _stage_body(stacked, x_mb, mask_mb, key_data, *, axis, n, m, heads,
+                causal, compute_dtype, dropout):
     """Per-stage GPipe schedule. ``stacked`` is this stage's local
     (layers_per_stage, ...) slice; ``x_mb``/``mask_mb`` are the full
-    (M, mb, T, C)/(M, mb, T) microbatch arrays (replicated over ``axis``)."""
+    (M, mb, T, C)/(M, mb, T) microbatch arrays (replicated over ``axis``);
+    ``key_data`` seeds per-(layer, microbatch) dropout streams."""
     stage = jax.lax.axis_index(axis)
     ring = [(i, (i + 1) % n) for i in range(n)]
+    layers_per_stage = jax.tree.leaves(stacked)[0].shape[0]
+    base_rng = jax.random.wrap_key_data(key_data)
 
-    def apply_local_layers(x, mask):
-        def layer_step(h, layer):
+    def apply_local_layers(x, mask, mb):
+        def layer_step(h, inp):
+            layer, local_index = inp
+            if dropout > 0:
+                # Global (layer, microbatch, site) -> independent stream;
+                # bubble-tick draws are computed on garbage and masked out
+                global_layer = stage * layers_per_stage + local_index
+                rngs = [
+                    jax.random.fold_in(
+                        base_rng, (global_layer * 4 + site) * m + mb)
+                    for site in range(4)
+                ]
+            else:
+                rngs = [None] * 4
             h = transformer._encoder_layer(
-                h, layer, mask, causal, heads, [None] * 4, 0.0,
+                h, layer, mask, causal, heads, rngs, dropout,
                 compute_dtype, None)
             return h, None
-        x, _ = jax.lax.scan(layer_step, x, stacked)
+        x, _ = jax.lax.scan(
+            layer_step, x, (stacked, jnp.arange(layers_per_stage)))
         return x
 
     def tick(carry, t):
@@ -138,7 +184,7 @@ def _stage_body(stacked, x_mb, mask_mb, *, axis, n, m, heads, causal,
         inp = jnp.where(stage == 0, x_mb[ingest], state)
         mb = t - stage                      # microbatch this stage holds now
         mbc = jnp.clip(mb, 0, m - 1)
-        y = apply_local_layers(inp, mask_mb[mbc])
+        y = apply_local_layers(inp, mask_mb[mbc], mbc)
         write = (mb >= 0) & (mb < m) & (stage == n - 1)
         out_buf = out_buf.at[mbc].set(jnp.where(write, y, out_buf[mbc]))
         state = jax.lax.ppermute(y, axis, ring)

@@ -84,8 +84,16 @@ def gradient_stats(grads):
             'gradients/min': gmin}
 
 
-def make_train_step(config, optimizer, class_weights=None):
+def make_train_step(config, optimizer, class_weights=None, mesh=None):
+    """Jitted train step. When ``mesh`` has a 'pipe' axis, the forward runs
+    the GPipe schedule (parallel/pipeline.py) with train-mode dropout;
+    otherwise the model's standard forward (XLA/GSPMD handles any 'data' /
+    'model' axes from the sharding annotations alone)."""
     forward = models.get(config)[1]
+    n_pipe = mesh.shape.get('pipe', 1) if mesh is not None else 1
+    pipe_batch_axis = (
+        'data' if mesh is not None and mesh.shape.get('data', 1) > 1
+        else None)
 
     # Codebook FRONTEND: encodec/dac cache int codes; dequantize on device
     # inside the jitted step (reference ppgs/train/core.py:115-119)
@@ -101,8 +109,13 @@ def make_train_step(config, optimizer, class_weights=None):
             features = codebook_frontend(features)
 
         def loss_fn(p):
-            logits = forward(p, features, lengths, config, train=True,
-                             rng=rng)
+            if n_pipe > 1:
+                logits = parallel.pipeline_forward(
+                    p, features, lengths, config, mesh, axis='pipe',
+                    batch_axis=pipe_batch_axis, train=True, rng=rng)
+            else:
+                logits = forward(p, features, lengths, config, train=True,
+                                 rng=rng)
             return loss(logits, targets, config, class_weights)
 
         train_loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -189,6 +202,41 @@ def _tree_to_opt_state(tree, optimizer, params_template):
 
 
 ###############################################################################
+# State placement
+###############################################################################
+
+
+def _place_train_state(mesh, params, opt_state):
+    """Place params + optimizer state on the mesh.
+
+    With a >1 'model' axis configured (config.mesh_shape/mesh_axis_names),
+    attention projections and FFN hidden dims shard tensor-parallel
+    (parallel.w2v2_param_sharding rules — the transformer uses the same
+    wq/wk/wv/wo/w1/w2 naming); Adam mu/nu inherit the param shardings and
+    GSPMD inserts the row-parallel all-reduces. Otherwise everything
+    replicates. TP placement is single-controller; multi-process runs use
+    the replicated path (DP over the hybrid mesh).
+    """
+    from ..parallel import multihost
+
+    n_model = mesh.shape.get('model', 1)
+    if n_model > 1 and jax.process_count() == 1:
+        shardings = parallel.w2v2_param_sharding(mesh, params, axis='model')
+        params = parallel.shard_params(params, shardings)
+        replicated = parallel.replicated(mesh)
+        adam = opt_state[0]
+        adam = adam._replace(
+            count=jax.device_put(adam.count, replicated),
+            mu=parallel.shard_params(adam.mu, shardings),
+            nu=parallel.shard_params(adam.nu, shardings))
+        rest = jax.tree.map(
+            lambda x: jax.device_put(x, replicated), tuple(opt_state[1:]))
+        return params, (adam,) + rest
+    return (multihost.replicate_global(mesh, params),
+            multihost.replicate_global(mesh, opt_state))
+
+
+###############################################################################
 # Scalars log (tensorboard-compatible JSONL fallback)
 ###############################################################################
 
@@ -265,6 +313,9 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
         mesh = multihost.make_hybrid_mesh(
             config.mesh_shape, config.mesh_axis_names)
     n_data = mesh.shape.get('data', 1)
+    # Pipeline stages each ingest one microbatch, itself data-sharded:
+    # batches pad to (data x pipe) so both splits are exact
+    batch_multiple = n_data * mesh.shape.get('pipe', 1)
 
     # Model + optimizer. Param init uses the default (threefry) PRNG for
     # cross-platform determinism; the per-step dropout keys use the
@@ -280,7 +331,7 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
 
     class_weights = (load_mod.phoneme_weights(config)
                      if config.class_balanced else None)
-    step_fn = make_train_step(config, optimizer, class_weights)
+    step_fn = make_train_step(config, optimizer, class_weights, mesh)
 
     # Maybe resume
     backend = config.checkpoint_backend
@@ -291,9 +342,9 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     else:
         step, epoch = 0, 0
 
-    # Replicate state over the (possibly multi-process) mesh
-    params = multihost.replicate_global(mesh, params)
-    opt_state = multihost.replicate_global(mesh, opt_state)
+    # Place state on the mesh: tensor-parallel sharded when a 'model' axis
+    # is configured, replicated otherwise
+    params, opt_state = _place_train_state(mesh, params, opt_state)
 
     if loader_fn is None:
         train_loader = data_loader(dataset, 'train', config=config)
@@ -322,7 +373,8 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
                 # step-for-step identical to single-process
                 batch = parallel.pad_batch_to_multiple(
                     (np.asarray(features), np.asarray(targets),
-                     np.asarray(lengths)), n_data, fill=(0, -100, 0))
+                     np.asarray(lengths)), batch_multiple,
+                    fill=(0, -100, 0))
                 features_d, targets_d, lengths_d = (
                     multihost.shard_global_batch(
                         mesh, multihost.local_slice(batch)))

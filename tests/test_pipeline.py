@@ -114,3 +114,48 @@ def test_pipeline_validates_divisibility():
     with pytest.raises(ValueError, match='divide'):
         parallel.pipeline_forward(
             params, feats, lengths, CONFIG, mesh, axis='pipe')
+
+
+def test_pipeline_train_mode_dropout():
+    """train=True applies dropout (outputs differ from inference, are
+    deterministic per rng, and differ across rngs); gradients flow."""
+    params = transformer.init(jax.random.PRNGKey(0), CONFIG)
+    feats, lengths = _inputs(jax.random.PRNGKey(1))
+    mesh = parallel.make_mesh(shape=(4,), axis_names=('pipe',))
+
+    inference = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh)
+    train_a = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh,
+        train=True, rng=jax.random.PRNGKey(5))
+    train_a2 = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh,
+        train=True, rng=jax.random.PRNGKey(5))
+    train_b = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh,
+        train=True, rng=jax.random.PRNGKey(6))
+
+    assert not np.allclose(np.asarray(inference), np.asarray(train_a))
+    np.testing.assert_array_equal(np.asarray(train_a), np.asarray(train_a2))
+    assert not np.allclose(np.asarray(train_a), np.asarray(train_b))
+
+    def loss_fn(p):
+        out = parallel.pipeline_forward(
+            p, feats, lengths, CONFIG, mesh,
+            train=True, rng=jax.random.PRNGKey(5))
+        return (out ** 2).mean()
+
+    grads = jax.grad(loss_fn)(params)
+    norms = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(norms)) and sum(norms) > 0
+
+
+def test_pipeline_batch_axis_divisibility_error():
+    params = transformer.init(jax.random.PRNGKey(0), CONFIG)
+    feats, lengths = _inputs(jax.random.PRNGKey(1), b=4)
+    mesh = parallel.make_mesh(shape=(4, 2), axis_names=('data', 'pipe'))
+    # B=4 over M=2 microbatches -> microbatch 2, not divisible by data=4
+    with pytest.raises(ValueError, match='microbatch size'):
+        parallel.pipeline_forward(
+            params, feats, lengths, CONFIG, mesh, axis='pipe',
+            batch_axis='data')

@@ -208,6 +208,50 @@ def test_padded_batch_loss_and_metrics_invariant():
         assert value == pytest.approx(ref_results[key], rel=1e-6), key
 
 
+def _mesh_test_loader(partition):
+    rng = np.random.default_rng(21)
+    for _ in range(2):
+        feats = rng.standard_normal((4, 80, 64)).astype('f4')
+        targets = rng.integers(0, 40, size=(4, 64)).astype(np.int64)
+        lengths = np.array([64, 50, 33, 64], dtype=np.int64)
+        for i, l in enumerate(lengths):
+            feats[i, :, l:] = 0
+            targets[i, l:] = -100
+        yield feats, targets, lengths
+
+
+def _train_with_mesh_config(tmp_path, name, **mesh_kwargs):
+    from ppgs_tpu import load as load_mod
+
+    config = TINY.replace(
+        dropout=0.0, evaluation_interval=10 ** 9,
+        checkpoint_interval=10 ** 9, **mesh_kwargs)
+    params = train_core.train(
+        'synthetic', directory=tmp_path / name, config=config,
+        max_steps=2, loader_fn=_mesh_test_loader)
+    return load_mod.flatten_params(jax.device_get(params))
+
+
+def test_train_via_config_2d_mesh(tmp_path):
+    """TP and PP reached via config.mesh_shape/mesh_axis_names alone match
+    DP-only numerics (dropout off; reduction-order tolerance)."""
+    flat_dp = _train_with_mesh_config(
+        tmp_path, 'dp', mesh_shape=(-1,), mesh_axis_names=('data',))
+    flat_tp = _train_with_mesh_config(
+        tmp_path, 'tp', mesh_shape=(2, 4),
+        mesh_axis_names=('data', 'model'))
+    flat_pp = _train_with_mesh_config(
+        tmp_path, 'pp', mesh_shape=(4, 2),
+        mesh_axis_names=('data', 'pipe'))
+
+    for flat_other, tag in ((flat_tp, 'tp'), (flat_pp, 'pp')):
+        assert set(flat_other) == set(flat_dp)
+        for key in flat_dp:
+            np.testing.assert_allclose(
+                flat_other[key], flat_dp[key], rtol=5e-3, atol=2e-4,
+                err_msg=f'{tag}:{key}')
+
+
 def test_load_model_from_training_checkpoint(tmp_path):
     """load.model unwraps training checkpoints (params next to optimizer
     state), like the reference's 'model'-keyed dicts (ppgs/load.py:76-79)."""
