@@ -288,17 +288,40 @@ def from_dataloader(
     config = config_mod.get(config)
     representation = representation or config.representation
 
+    # Config-reachable data-parallel inference: with >1 device on the
+    # config mesh's 'data' axis, batches shard over it — the jitted
+    # frontend + model follow the input sharding (GSPMD), no other changes
+    mesh, n_data = None, 1
+    if 'data' in config.mesh_axis_names and len(jax.devices()) > 1:
+        from . import parallel as parallel_mod
+
+        candidate = parallel_mod.make_mesh(
+            shape=config.mesh_shape, axis_names=config.mesh_axis_names)
+        if candidate.shape.get('data', 1) > 1:
+            mesh, n_data = candidate, candidate.shape['data']
+
     save_pool = concurrent.futures.ThreadPoolExecutor(max(1, save_workers))
     pending = []
     try:
         for audios, lengths, batch_files in dataloader:
-            frame_lengths = np.asarray(lengths) // config.hopsize
+            audio_np = np.asarray(audios)
+            lengths_np = np.asarray(lengths)
+            if mesh is not None:
+                from . import parallel as parallel_mod
 
-            # Frontend + model on device, one batch
+                audio_np, lengths_np = parallel_mod.pad_batch_to_multiple(
+                    (audio_np, lengths_np), n_data)
+                audio_dev = jax.device_put(
+                    audio_np, parallel_mod.batch_sharding(mesh))
+            else:
+                audio_dev = jnp.asarray(audio_np)
+
+            # Frontend + model on device, one batch (feat_lengths spans
+            # padded rows too — padded entries are 0 and trimmed at save)
             features = preprocess.get(representation).from_audios(
-                jnp.asarray(np.asarray(audios)), np.asarray(lengths),
-                config=config)
-            feat_lengths = np.minimum(frame_lengths, features.shape[-1])
+                audio_dev, lengths_np, config=config)
+            feat_lengths = np.minimum(
+                lengths_np // config.hopsize, features.shape[-1])
             # Physical extent of the equivalent reference tensor: the mel of
             # the batch-max-length audio (collate quantizes samples past it
             # for compile reuse; those frames must not reach the input conv)

@@ -149,6 +149,8 @@ def datasets(names=None, representations=None, config=None, partition=None,
     (reference: ppgs/preprocess/core.py:17-104)."""
     from ..data import Dataset
 
+    from ..parallel import multihost
+
     config = config_mod.get(config)
     names = names or list(config.datasets)
 
@@ -157,7 +159,11 @@ def datasets(names=None, representations=None, config=None, partition=None,
                           features=['audio', 'length', 'audio_file'],
                           config=config)
         cache = dataset.cache
-        files = list(dataset.audio_files)
-        prefixes = [cache / stem for stem in dataset.stems]
+        # Multi-host: caching is embarrassingly parallel per utterance;
+        # each process preprocesses every process_count-th file
+        pairs = list(multihost.shard_iterator(
+            zip(dataset.audio_files, dataset.stems)))
+        files = [f for f, _ in pairs]
+        prefixes = [cache / stem for _, stem in pairs]
         from_files_to_files(files, prefixes, representations,
                             config=config, num_workers=num_workers)

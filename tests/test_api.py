@@ -170,3 +170,33 @@ def test_from_files_to_files_variable_lengths(checkpoint, tmp_path):
 
 def test_representation_file_extension():
     assert ppgs_tpu.representation_file_extension() == '-ppg.npy'
+
+
+def test_from_files_to_files_data_sharded_matches_single(
+        checkpoint, tmp_path):
+    """Batch inference with a >1 'data' mesh configured (8 virtual devices)
+    produces the same files as the single-device path (B=3 pads to 8;
+    padded rows trimmed at save)."""
+    tm, path = checkpoint
+    rng = np.random.default_rng(4)
+    wavs = []
+    for i, samples in enumerate((16000, 8000, 24000)):
+        wav = tmp_path / f's{i}.wav'
+        audio_io.save_wav(
+            wav, (0.1 * rng.standard_normal((1, samples))).astype('f4'))
+        wavs.append(wav)
+
+    config = ppgs_tpu.Config()
+    outs_single = [tmp_path / f'single{i}.npy' for i in range(3)]
+    ppgs_tpu.from_files_to_files(
+        wavs, outs_single, checkpoint=path, num_workers=2,
+        config=config.replace(mesh_shape=(1,)))
+
+    outs_sharded = [tmp_path / f'sharded{i}.npy' for i in range(3)]
+    ppgs_tpu.from_files_to_files(
+        wavs, outs_sharded, checkpoint=path, num_workers=2,
+        config=config.replace(mesh_shape=(-1,)))
+
+    for a, b in zip(outs_single, outs_sharded):
+        np.testing.assert_allclose(
+            np.load(a), np.load(b), rtol=1e-5, atol=1e-6)
