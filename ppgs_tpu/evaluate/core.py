@@ -31,6 +31,7 @@ def datasets(names=None, checkpoint=None, config=None, max_batches=None):
     from ..data import loader as data_loader
     from ..parallel import multihost
 
+    multihost.initialize()
     config = config_mod.get(config)
     names = names or list(config.datasets)
 

@@ -151,6 +151,7 @@ def datasets(names=None, representations=None, config=None, partition=None,
 
     from ..parallel import multihost
 
+    multihost.initialize()
     config = config_mod.get(config)
     names = names or list(config.datasets)
 
