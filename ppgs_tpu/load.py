@@ -104,6 +104,18 @@ def model(checkpoint=None, representation=None, config=None):
 
     if checkpoint is None and config.local_checkpoint is not None:
         checkpoint = config.local_checkpoint
+    if checkpoint is None and config.model == 'W2V2FC':
+        # Pretrained frame classifier: no trained PPG checkpoint exists or
+        # is needed (reference ppgs/load.py:54-56 returns the HF-pretrained
+        # model directly); our equivalent is the converted Charsiu weights
+        from .preprocess.w2v2fc import W2V2FC_CHECKPOINT
+
+        if not Path(W2V2FC_CHECKPOINT).exists():
+            raise FileNotFoundError(
+                f'Charsiu weights not found at {W2V2FC_CHECKPOINT}. '
+                f'Convert them with scripts/convert_w2v2.py --charsiu '
+                f'(needs network).')
+        checkpoint = W2V2FC_CHECKPOINT
     if checkpoint is None:
         # Bundled converted checkpoints, mirroring the published HF names
         name = {'mel': 'mel-800k.npz', 'w2v2fb': 'w2v2fb-425k.npz'}.get(

@@ -134,3 +134,33 @@ def test_factory_dispatch():
         assert callable(init_fn) and callable(forward_fn)
     with pytest.raises(ValueError):
         models.get(ppgs_tpu.Config(model='nope'))
+
+
+def test_load_model_w2v2fc_pretrained(tmp_path, monkeypatch):
+    """load.model under the w2v2fc-pretrained config resolves the Charsiu
+    weights with no trained PPG checkpoint (reference ppgs/load.py:54-56),
+    and points at the converter when they're absent."""
+    import jax
+
+    from ppgs_tpu import load as load_mod
+    from ppgs_tpu.preprocess import w2v2fc as w2v2fc_mod
+
+    config = ppgs_tpu.config.REGISTRY['w2v2fc-pretrained']
+    assert config.model == 'W2V2FC'
+
+    missing = tmp_path / 'nope.npz'
+    monkeypatch.setattr(w2v2fc_mod, 'W2V2FC_CHECKPOINT', missing)
+    with pytest.raises(FileNotFoundError, match='convert_w2v2'):
+        load_mod.model(config=config)
+
+    # With (synthetic) converted weights present, loading succeeds and
+    # returns the fc param structure
+    from ppgs_tpu.models import w2v2_ppg
+
+    params = w2v2_ppg.fc_init(jax.random.PRNGKey(0), config)
+    path = tmp_path / 'charsiu.npz'
+    load_mod.save_params(path, params)
+    monkeypatch.setattr(w2v2fc_mod, 'W2V2FC_CHECKPOINT', path)
+    loaded, out_config = load_mod.model(config=config)
+    assert 'w2v2' in loaded and 'head' in loaded
+    assert out_config.model == 'W2V2FC'
