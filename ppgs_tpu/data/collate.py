@@ -10,14 +10,21 @@ are reused across batches instead of recompiling per unique length.
 import numpy as np
 
 
+# Time-dim quantization multiples: compiled programs are reused per bucket.
+# BatchedSequentialSampler's bit-identity guarantee (sampler.py) groups test
+# utterances by THIS multiple — keep them in lockstep.
+FRAME_MULTIPLE = 100
+SAMPLE_MULTIPLE = 16000
+
+
 def quantize(length, multiple):
     return max(multiple, -(-int(length) // multiple) * multiple)
 
 
 class Collate:
 
-    def __init__(self, features=('audio',), frame_multiple=100,
-                 sample_multiple=16000):
+    def __init__(self, features=('audio',), frame_multiple=FRAME_MULTIPLE,
+                 sample_multiple=SAMPLE_MULTIPLE):
         self.features = list(features)
         self.frame_multiple = frame_multiple
         self.sample_multiple = sample_multiple
@@ -51,11 +58,15 @@ class Collate:
             elif feature == 'length':
                 batch_values.append(np.asarray(values, dtype=np.int64))
 
-            else:  # input representation latents
+            else:  # input representation latents (or int codec codes)
                 max_length = quantize(
                     max(v.shape[-1] for v in values), self.frame_multiple)
                 shape = (batch_size,) + values[0].shape[:-1] + (max_length,)
-                padded = np.zeros(shape, dtype=np.float32)
+                # Preserve the cached dtype: int codes must stay integral
+                # for the codebook gather; fp16 caches feed the model's own
+                # cast (float32 upcast here would be value-identical)
+                dtype = np.asarray(values[0]).dtype
+                padded = np.zeros(shape, dtype=dtype)
                 for i, v in enumerate(values):
                     padded[i, ..., :v.shape[-1]] = v
                 batch_values.append(padded)

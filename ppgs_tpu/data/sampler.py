@@ -53,14 +53,16 @@ class BatchedSequentialSampler:
     per group, so at most two geometries compile per length bucket).
     """
 
-    def __init__(self, dataset, max_frames=None, frame_multiple=100,
+    def __init__(self, dataset, max_frames=None, frame_multiple=None,
                  config=None):
+        from .collate import FRAME_MULTIPLE, quantize
+
         config = config_mod.get(config)
         self.max_frames = max_frames or config.max_inference_frames
+        if frame_multiple is None:
+            frame_multiple = FRAME_MULTIPLE    # must match Collate's
         groups = {}
         for index, length in enumerate(dataset.lengths):
-            from .collate import quantize
-
             groups.setdefault(quantize(length, frame_multiple),
                               []).append(index)
         self.batches = []

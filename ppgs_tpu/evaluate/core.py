@@ -35,13 +35,15 @@ def datasets(names=None, checkpoint=None, config=None, max_batches=None):
     config = config_mod.get(config)
     names = names or list(config.datasets)
 
-    aggregate = Metrics(include_figures=True, config=config)
+    # Figures render only where they're saved (primary process)
+    figures = multihost.is_primary()
+    aggregate = Metrics(include_figures=figures, config=config)
     results = {}
     eval_dir = config_mod.EVAL_DIR / config.config
     eval_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
-        metrics = Metrics(include_figures=True, config=config)
+        metrics = Metrics(include_figures=figures, config=config)
         ldr = data_loader(
             name, 'test',
             features=[config.representation, 'phonemes', 'length'],

@@ -75,6 +75,11 @@ def decode_codes(codes, codebooks, mode: str = 'sum'):
     closures produce.
     """
     codes = jnp.asarray(codes)
+    if not jnp.issubdtype(codes.dtype, jnp.integer):
+        # The collate path pads cached codes into float buffers (and the
+        # reference's quantizer closures likewise cast, config/encodec.py:
+        # 14); gather indices must be integral
+        codes = codes.astype(jnp.int32)
     squeeze = codes.ndim == 2
     if squeeze:                       # (Q, T) single utterance
         codes = codes[None]

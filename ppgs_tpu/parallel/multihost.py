@@ -61,7 +61,12 @@ def initialize(
             process_id=process_id,
             local_device_ids=local_device_ids)
     except RuntimeError as error:
-        if 'already initialized' not in str(error):
+        # Idempotency across entry points (preprocess -> train -> evaluate
+        # in one process): jax raises 'distributed.initialize should only
+        # be called once.' on re-init
+        message = str(error)
+        if ('already initialized' not in message
+                and 'only be called once' not in message):
             raise
 
 

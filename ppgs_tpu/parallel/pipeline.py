@@ -111,13 +111,19 @@ def pipeline_forward(
         config.max_len, config.hidden_channels)[:T]
     x = x + pe[None]
     if dropout > 0:
+        rng = _as_typed_key(rng)
         rng_pe, rng_layers = jax.random.split(rng)
         x = transformer._dropout(x, rng_pe, dropout)
         key_data = jax.random.key_data(rng_layers)
+        # The impl (threefry/rbg/...) must survive the raw-data round trip
+        # through shard_map: train() uses 'rbg' keys whose data is (4,)
+        # uint32 — rewrapping with the default threefry impl would crash
+        key_impl = jax.random.key_impl(rng_layers)
     else:
         # Placeholder key data (unused when dropout == 0)
         key_data = jnp.zeros(
-            jax.random.key_data(jax.random.PRNGKey(0)).shape, jnp.uint32)
+            jax.random.key_data(jax.random.key(0)).shape, jnp.uint32)
+        key_impl = None
 
     # Microbatch split: (M, B/M, T, C)
     xm = x.reshape(M, B // M, T, x.shape[-1])
@@ -127,7 +133,7 @@ def pipeline_forward(
     body = functools.partial(
         _stage_body, axis=axis, n=n, m=M, heads=config.attention_heads,
         causal=config.is_causal, compute_dtype=compute_dtype,
-        dropout=dropout)
+        dropout=dropout, key_impl=key_impl)
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(None, batch_axis), P(None, batch_axis), P()),
@@ -142,16 +148,26 @@ def pipeline_forward(
     return x.transpose(0, 2, 1)                               # (B, C_out, T)
 
 
+def _as_typed_key(rng):
+    """Accept both typed PRNG keys and legacy uint32 raw keys."""
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jax.dtypes.prng_key):
+        return rng
+    return jax.random.wrap_key_data(jnp.asarray(rng, jnp.uint32))
+
+
 def _stage_body(stacked, x_mb, mask_mb, key_data, *, axis, n, m, heads,
-                causal, compute_dtype, dropout):
+                causal, compute_dtype, dropout, key_impl):
     """Per-stage GPipe schedule. ``stacked`` is this stage's local
     (layers_per_stage, ...) slice; ``x_mb``/``mask_mb`` are the full
     (M, mb, T, C)/(M, mb, T) microbatch arrays (replicated over ``axis``);
-    ``key_data`` seeds per-(layer, microbatch) dropout streams."""
+    ``key_data`` (+ static ``key_impl``) seeds per-(layer, microbatch)
+    dropout streams."""
     stage = jax.lax.axis_index(axis)
     ring = [(i, (i + 1) % n) for i in range(n)]
     layers_per_stage = jax.tree.leaves(stacked)[0].shape[0]
-    base_rng = jax.random.wrap_key_data(key_data)
+    base_rng = (jax.random.wrap_key_data(key_data, impl=key_impl)
+                if key_impl is not None
+                else jax.random.wrap_key_data(key_data))
 
     def apply_local_layers(x, mask, mb):
         def layer_step(h, inp):

@@ -39,6 +39,26 @@ from ppgs_tpu.convert import (
 GOLDEN_DIR = config_mod.ASSETS_DIR / 'goldens'
 
 
+def config_from_state_dict(sd, base):
+    """Model geometry recovered from the checkpoint itself, so arbitrary
+    (non-registry) reference checkpoints convert and verify correctly."""
+    import re
+
+    w_in = np.asarray(sd['input_layer.weight'])    # (hidden, input, k)
+    w_out = np.asarray(sd['output_layer.weight'])  # (out, hidden, k)
+    ffn = np.asarray(sd['model.layers.0.linear1.weight']).shape[0]
+    layers = 1 + max(
+        int(match.group(1)) for key in sd
+        for match in [re.match(r'model\.layers\.(\d+)\.', key)] if match)
+    return base.replace(
+        input_channels=int(w_in.shape[1]),
+        hidden_channels=int(w_in.shape[0]),
+        kernel_size=int(w_in.shape[2]),
+        output_channels=int(w_out.shape[0]),
+        ffn_channels=int(ffn),
+        num_hidden_layers=int(layers))
+
+
 def golden_input(config, seed=0, frames=700):
     """Deterministic synthetic feature batch (> chunk_length frames, so the
     chunked path is exercised)."""
@@ -153,7 +173,9 @@ def main():
     parser.add_argument('output', nargs='?')
     parser.add_argument('--hf', choices=['mel', 'w2v2fb'],
                         help='Download the published checkpoint from HF hub')
-    parser.add_argument('--layers', type=int, default=5)
+    parser.add_argument('--layers', type=int, default=None,
+                        help='Override the layer count (default: derived '
+                             'from the checkpoint)')
     parser.add_argument('--no-verify', action='store_true')
     args = parser.parse_args()
 
@@ -163,14 +185,19 @@ def main():
         name = {'mel': 'mel-800k.pt', 'w2v2fb': 'w2v2fb-425k.pt'}[args.hf]
         path = huggingface_hub.hf_hub_download('CameronChurchwell/ppgs', name)
         output = config_mod.CHECKPOINT_DIR / name.replace('.pt', '.npz')
-        config = config_mod.REGISTRY[args.hf]
+        base = config_mod.REGISTRY[args.hf]
     else:
         path = args.checkpoint
         output = args.output or Path(path).with_suffix('.npz')
-        config = config_mod.REGISTRY['mel']
+        base = config_mod.REGISTRY['mel']
 
     sd = load_torch_checkpoint(path)
-    params = transformer_params_from_state_dict(sd, num_layers=args.layers)
+    # Geometry from the checkpoint itself; registry only fills in the rest
+    config = config_from_state_dict(sd, base)
+    if args.layers is not None:
+        config = config.replace(num_hidden_layers=args.layers)
+    params = transformer_params_from_state_dict(
+        sd, num_layers=config.num_hidden_layers)
     Path(output).parent.mkdir(parents=True, exist_ok=True)
     load_mod.save_params(output, params)
     print(f'Converted {path} -> {output}')

@@ -155,3 +155,39 @@ def test_eval_forward_applies_frontend(codebooks):
             np.asarray(logits), np.asarray(expected), rtol=1e-5, atol=1e-6)
     finally:
         frontend_mod.unregister('synth-enc3')
+
+
+def test_decode_codes_accepts_float_codes(codebooks):
+    """The collate path (and the reference's closures) hand float-typed
+    codes to the dequantizer; indices must be cast back to int."""
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, V, size=(2, Q, 6)).astype(np.int32)
+    as_float = codes.astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(frontend_mod.decode_codes(as_float, codebooks, 'sum')),
+        np.asarray(frontend_mod.decode_codes(codes, codebooks, 'sum')))
+
+
+def test_collate_preserves_code_dtype():
+    """Cached int codec codes must stay integral through collation (the
+    codebook gather needs integer indices); fp16 caches stay fp16."""
+    from ppgs_tpu.data.collate import Collate
+
+    collate = Collate(features=('encodec', 'phonemes', 'length'))
+    rng = np.random.default_rng(7)
+    batch = [
+        (rng.integers(0, V, size=(Q, 37)).astype(np.int32),
+         rng.integers(0, 40, size=37).astype(np.int64),
+         37),
+        (rng.integers(0, V, size=(Q, 80)).astype(np.int32),
+         rng.integers(0, 40, size=80).astype(np.int64),
+         80),
+    ]
+    codes, phonemes, lengths = collate(batch)
+    assert codes.dtype == np.int32
+    assert codes.shape == (2, Q, 100)
+
+    collate16 = Collate(features=('mel',))
+    mel_batch = [(rng.standard_normal((80, 50)).astype(np.float16),)]
+    (mel,) = collate16(mel_batch)
+    assert mel.dtype == np.float16

@@ -159,3 +159,18 @@ def test_pipeline_batch_axis_divisibility_error():
         parallel.pipeline_forward(
             params, feats, lengths, CONFIG, mesh, axis='pipe',
             batch_axis='data')
+
+
+def test_pipeline_train_mode_rbg_key():
+    """train() hands the pipeline 'rbg'-impl step keys whose raw data is
+    (4,) uint32 — the impl must survive the shard_map round trip."""
+    params = transformer.init(jax.random.PRNGKey(0), CONFIG)
+    feats, lengths = _inputs(jax.random.PRNGKey(1))
+    mesh = parallel.make_mesh(shape=(4,), axis_names=('pipe',))
+    rng = jax.random.key(3, impl='rbg')
+    out = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh, train=True, rng=rng)
+    assert np.isfinite(np.asarray(out)).all()
+    inference = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh)
+    assert not np.allclose(np.asarray(out), np.asarray(inference))

@@ -252,6 +252,22 @@ def test_train_via_config_2d_mesh(tmp_path):
                 err_msg=f'{tag}:{key}')
 
 
+def test_train_via_config_pipe_mesh_with_dropout(tmp_path):
+    """PP training with dropout ON (the default) must run: the train
+    step's 'rbg' keys round-trip through the pipeline's shard_map."""
+    from ppgs_tpu import load as load_mod
+
+    config = TINY.replace(
+        dropout=0.1, evaluation_interval=10 ** 9,
+        checkpoint_interval=10 ** 9,
+        mesh_shape=(4, 2), mesh_axis_names=('data', 'pipe'))
+    params = train_core.train(
+        'synthetic', directory=tmp_path / 'pp-dropout', config=config,
+        max_steps=2, loader_fn=_mesh_test_loader)
+    flat = load_mod.flatten_params(jax.device_get(params))
+    assert all(np.isfinite(v).all() for v in flat.values())
+
+
 def test_load_model_from_training_checkpoint(tmp_path):
     """load.model unwraps training checkpoints (params next to optimizer
     state), like the reference's 'model'-keyed dicts (ppgs/load.py:76-79)."""
