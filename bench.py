@@ -163,24 +163,57 @@ def main():
 
     def measure(raw_fn, params):
         """-> (device-time throughput, extras dict with dispatch-loop
-        throughput, per-application device ms, and MFU when computable)."""
+        throughput, per-application device ms, and MFU when computable).
+
+        Guards against a degraded remote runtime (observed failure mode:
+        timings return instantly with nothing computed): one output VALUE
+        is fetched to surface deferred errors, and any timing below half
+        the speed-of-light floor implied by the program's own FLOP count
+        is rejected. Falls back chained -> dispatch -> hard error rather
+        than ever reporting a physically impossible number.
+        """
         jfn = jax.jit(raw_fn)
-        t_device = timeit_chained(raw_fn, params)
-        t_dispatch = timeit_dispatch(jfn, params)
-        extras = {
-            'dispatch_value': round(audio_seconds / t_dispatch, 2),
-            'device_ms_per_batch': round(t_device * 1e3, 3),
-        }
+        # Force one real execution end-to-end (value fetch surfaces
+        # deferred execution errors that block_until_ready can miss)
+        probe = jfn(params, audios[8])
+        float(np.asarray(jax.device_get(probe)).ravel()[0])
+
         flops = flops_of(jfn, params)
-        if flops is not None and peak is not None and t_device > 0:
-            extras['mfu'] = round(flops / t_device / peak, 4)
-        return audio_seconds / t_device, extras
+        t_floor = (flops / peak) if (flops and peak) else 0.0
+
+        def sane(t):
+            return t > 0 and t >= 0.5 * t_floor
+
+        t_device = timeit_chained(raw_fn, params)
+        if not sane(t_device):
+            t_device = timeit_chained(raw_fn, params)   # one retry
+        t_dispatch = timeit_dispatch(jfn, params)
+
+        extras = {}
+        if sane(t_dispatch):
+            extras['dispatch_value'] = round(audio_seconds / t_dispatch, 2)
+        if sane(t_device):
+            extras['device_ms_per_batch'] = round(t_device * 1e3, 3)
+            if flops is not None and peak is not None:
+                extras['mfu'] = round(flops / t_device / peak, 4)
+            return audio_seconds / t_device, extras
+        if sane(t_dispatch):
+            extras['note'] = ('chained device-time slope invalid '
+                              '(degraded runtime?); dispatch-loop value')
+            return audio_seconds / t_dispatch, extras
+        raise RuntimeError(
+            f'both timings below the physical floor ({t_floor * 1e3:.2f} '
+            f'ms for {flops} FLOPs): remote runtime degraded')
 
     # --- mel pipeline (headline metric; measured first, printed last) ------
-    mel_value, mel_extras = measure(mel_pipeline, mel_params)
+    try:
+        mel_value, mel_extras = measure(mel_pipeline, mel_params)
+    except Exception as error:
+        mel_value = 0.0
+        mel_extras = {'error': f'{type(error).__name__}: {error}'}
 
     vs_baseline = 1.0
-    if os.environ.get('PPGS_BENCH_FULL'):
+    if mel_value and os.environ.get('PPGS_BENCH_FULL'):
         # Additionally measure the XLA-only reference-numerics path
         # (Pallas kernels disabled) and report the speedup over it.
         # Adds a second multi-minute compile over the tunnel.
