@@ -22,7 +22,9 @@ from .ops import distance, interpolate, sparsify
 from . import models
 from . import edit
 from . import convert
+from . import frontend
 from . import load
+from . import parallel
 from . import preprocess
 from .core import (
     from_audio,
