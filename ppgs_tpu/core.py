@@ -127,6 +127,25 @@ def infer(
     stride = config.chunk_length - 2 * config.chunk_overlap
     chunked = (not legacy_mode) and T > config.chunk_length
 
+    # Config-reachable context parallelism: with a >1 'seq' axis on the
+    # config mesh, long inputs shard their TIME dimension over devices
+    # (halo exchange over ICI, parallel/context.py) — bit-equal window
+    # geometry to the single-device chunked forward
+    if chunked and 'seq' in config.mesh_axis_names:
+        from . import parallel as parallel_mod
+
+        mesh = parallel_mod.make_mesh(
+            shape=config.mesh_shape, axis_names=config.mesh_axis_names)
+        n_seq = mesh.shape.get('seq', 1)
+        if n_seq > 1:
+            padded, _ = parallel_mod.pad_frames_for_context(
+                features, config, n_seq)
+            logits = parallel_mod.context_parallel_chunked_forward(
+                params, padded, lengths, config, mesh, axis='seq',
+                true_frames=int(phys))
+            out = jax.nn.softmax(logits, axis=1) if softmax else logits
+            return out[..., :T]
+
     # Pad time to a bucket boundary for compile reuse; the true extent is
     # passed through (traced) so truncation-boundary parity is preserved
     padded_t = T if legacy_mode else _bucket_frames(T, stride)

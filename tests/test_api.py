@@ -200,3 +200,23 @@ def test_from_files_to_files_data_sharded_matches_single(
     for a, b in zip(outs_single, outs_sharded):
         np.testing.assert_allclose(
             np.load(a), np.load(b), rtol=1e-5, atol=1e-6)
+
+
+def test_infer_context_parallel_via_config(checkpoint):
+    """A >1 'seq' mesh axis reached via config alone shards long-input
+    inference over the time dimension, matching the default path."""
+    tm, path = checkpoint
+    rng = np.random.default_rng(5)
+    T = 1700                      # > chunk_length -> chunked path
+    features = rng.standard_normal((1, 80, T)).astype(np.float32)
+    lengths = np.array([T], dtype=np.int64)
+
+    base = ppgs_tpu.Config(compute_dtype='float32')
+    default_out = np.asarray(ppgs_tpu.from_features(
+        features, lengths, checkpoint=path, config=base))
+
+    cp_config = base.replace(mesh_shape=(8,), mesh_axis_names=('seq',))
+    cp_out = np.asarray(ppgs_tpu.from_features(
+        features, lengths, checkpoint=path, config=cp_config))
+    assert cp_out.shape == default_out.shape
+    np.testing.assert_allclose(cp_out, default_out, rtol=1e-5, atol=1e-6)
