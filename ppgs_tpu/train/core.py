@@ -363,6 +363,19 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     # Host side effects (metric logs, checkpoints) belong to process 0
     writer = ScalarWriter(directory) if multihost.is_primary() else None
 
+    # Preemption safety: TPU maintenance events deliver SIGTERM; route it
+    # through the same save-on-interrupt path as Ctrl-C (the reference
+    # handles only KeyboardInterrupt, ppgs/train/core.py:257-266)
+    import signal
+
+    def _preempted(signum, frame):
+        raise KeyboardInterrupt(f'signal {signum}')
+
+    try:
+        previous_handler = signal.signal(signal.SIGTERM, _preempted)
+    except ValueError:          # not the main thread: skip installation
+        previous_handler = None
+
     try:
         while step < steps:
             if loader_fn_uses_sampler:
@@ -408,6 +421,8 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     except KeyboardInterrupt:
         pass
     finally:
+        if previous_handler is not None:
+            signal.signal(signal.SIGTERM, previous_handler)
         if multihost.is_primary():
             checkpoint_state(directory, step, epoch, params, opt_state,
                              backend)

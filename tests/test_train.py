@@ -362,3 +362,36 @@ def test_train_resume_orbax(tmp_path):
     latest = train_core.latest_checkpoint(directory, backend='orbax')
     assert latest.name == '3'
     ckpt_mod.close(directory)
+
+
+def test_train_sigterm_checkpoints_and_exits(tmp_path):
+    """TPU preemption (SIGTERM) saves a checkpoint and returns cleanly,
+    like the reference's save-on-KeyboardInterrupt."""
+    import os
+    import signal
+
+    config = TINY.replace(evaluation_interval=10 ** 9,
+                          checkpoint_interval=10 ** 9)
+    rng = np.random.default_rng(0)
+    fired = {'step': 0}
+
+    def loader_fn(partition):
+        for _ in range(100):
+            fired['step'] += 1
+            if fired['step'] == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield (rng.standard_normal((2, 80, 64)).astype('f4'),
+                   rng.integers(0, 40, size=(2, 64)),
+                   np.array([64, 48]))
+
+    directory = tmp_path / 'preempt'
+    params = train_core.train('synthetic', directory=directory,
+                              config=config, max_steps=100,
+                              loader_fn=loader_fn)
+    assert params is not None
+    latest = train_core.latest_checkpoint(directory)
+    assert latest is not None
+    # Interrupted well before max_steps
+    assert int(latest.stem) < 100
+    # The original handler is restored
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
