@@ -87,6 +87,10 @@ class Config:
     # TPU-specific parameters (no reference equivalent)
     batched_test_eval: bool = True      # frame-budget test batches (exact;
                                         # False = reference batch-1 parity)
+    remat: bool = False                 # rematerialize encoder layers in
+                                        # the backward pass (trade FLOPs
+                                        # for activation HBM at large
+                                        # frame budgets)
     compute_dtype: str = 'bfloat16'     # matmul dtype inside the encoder
     param_dtype: str = 'float32'
     checkpoint_backend: str = 'npz'     # 'npz' | 'orbax' (async saves)

@@ -364,9 +364,17 @@ def forward(
             x, stack_mask, params['layers'], config.attention_heads,
             compute_dtype=compute_dtype)
     else:
+        layer_fn = _encoder_layer
+        if train and config.remat:
+            # Rematerialize each layer in the backward pass: activation
+            # memory drops from O(layers x B x H x T x T) to one layer's,
+            # at ~1/3 extra forward FLOPs (config.remat; large frame
+            # budgets only — SURVEY's 150k-frame batches)
+            layer_fn = jax.checkpoint(
+                _encoder_layer, static_argnums=(3, 4, 6, 7, 8))
         for i, layer in enumerate(params['layers']):
             layer_rngs = rngs[1 + 4 * i: 1 + 4 * (i + 1)]
-            x = _encoder_layer(
+            x = layer_fn(
                 x, layer, stack_mask, config.is_causal,
                 config.attention_heads, layer_rngs,
                 config.dropout if train else 0.0, compute_dtype, precision)

@@ -395,3 +395,27 @@ def test_train_sigterm_checkpoints_and_exits(tmp_path):
     assert int(latest.stem) < 100
     # The original handler is restored
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_remat_matches_standard_backward():
+    """config.remat rematerializes encoder layers in the backward pass:
+    loss and gradients are identical, only activation memory differs."""
+    features, targets, lengths = make_batch()
+    rng = jax.random.PRNGKey(3)
+
+    def grads_for(config):
+        params = transformer.init(jax.random.PRNGKey(0), config)
+
+        def loss_fn(p):
+            logits = transformer.forward(
+                p, jnp.asarray(features), jnp.asarray(lengths), config,
+                train=True, rng=rng)
+            return train_core.loss(logits, jnp.asarray(targets), config)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_a, grads_a = grads_for(TINY)
+    loss_b, grads_b = grads_for(TINY.replace(remat=True))
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
