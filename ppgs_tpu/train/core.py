@@ -335,6 +335,16 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
 
     # Maybe resume
     backend = config.checkpoint_backend
+    if backend == 'orbax' and jax.process_count() > 1:
+        # Orbax async saves synchronize across processes; our checkpoint
+        # writes are primary-only (state is replicated), which would
+        # deadlock its barrier. Replicated-state multi-host runs use the
+        # single-writer npz backend instead.
+        import warnings
+
+        warnings.warn('orbax checkpointing is single-process here; '
+                      'multi-host run falls back to the npz backend')
+        backend = 'npz'
     ckpt = latest_checkpoint(directory, backend)
     if ckpt is not None:
         params, opt_state, step, epoch = load_checkpoint(
