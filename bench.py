@@ -81,6 +81,7 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+    import numpy as np
 
     import ppgs_tpu
     from ppgs_tpu.models import transformer
