@@ -180,6 +180,21 @@ def _pos_conv(x, p, config: W2V2Config, precision=None):
     return _gelu(out)
 
 
+def _use_flash(d_head: int, heads: int, t: int) -> bool:
+    """Pallas fused-attention eligibility for wav2vec2's 64-wide heads
+    (two heads pack per 128-lane block; see ops/flash_attention.py)."""
+    import os
+
+    if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
+        return False
+    try:
+        on_tpu = jax.default_backend() == 'tpu'
+    except RuntimeError:
+        return False
+    return (on_tpu and t <= 1024 and t % 8 == 0
+            and 128 % d_head == 0 and heads % (128 // d_head) == 0)
+
+
 def _attention(x, p, mask, heads, compute_dtype, precision):
     B, T, C = x.shape
     d_head = C // heads
@@ -187,6 +202,20 @@ def _attention(x, p, mask, heads, compute_dtype, precision):
     q = xc @ p['wq'].astype(compute_dtype) + p['bq'].astype(compute_dtype)
     k = xc @ p['wk'].astype(compute_dtype) + p['bk'].astype(compute_dtype)
     v = xc @ p['wv'].astype(compute_dtype) + p['bv'].astype(compute_dtype)
+
+    # Pallas fused path (bf16 inference on TPU): softmax stays in VMEM —
+    # the (B, H, T, T) fp32 logits tensor (~1 GB/layer at the w2v2fb bench
+    # workload) never round-trips HBM, and no head transposes materialize
+    if compute_dtype == jnp.bfloat16 and _use_flash(d_head, heads, T):
+        from ..ops import flash_attention as fa
+
+        key_mask = (mask > 0 if mask is not None
+                    else jnp.ones((B, T), bool))
+        out = fa.flash_attention(q, k, v, key_mask, heads)
+        out = out.astype(compute_dtype)
+        return (out @ p['wo'].astype(compute_dtype)
+                + p['bo'].astype(compute_dtype)).astype(x.dtype)
+
     q = q.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, heads, d_head).transpose(0, 2, 1, 3)

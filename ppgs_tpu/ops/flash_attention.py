@@ -52,6 +52,35 @@ def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
         preferred_element_type=jnp.float32)).astype(o_ref.dtype)
 
 
+def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
+                         *, sm_scale, heads_per_block, d_head):
+    """One (batch, head-group) program for d_head < 128: the 128-channel
+    block packs ``heads_per_block`` heads side by side; each head's
+    attention runs separately on its 64-lane slice (static unroll), so
+    small-head models (wav2vec2: 12 heads x 64) keep the no-transpose
+    layout and VMEM-resident softmax."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale       # (T, P*dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    mask = mask_ref[0, 0, :]                          # (T,)
+
+    outs = []
+    for j in range(heads_per_block):
+        sl = slice(j * d_head, (j + 1) * d_head)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (T, T)
+        logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
+        row_max = logits.max(axis=-1, keepdims=True)
+        p = jnp.exp(logits - row_max)
+        p = jnp.where(mask[None, :] > 0, p, 0.0)
+        denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+        outs.append(jax.lax.dot_general(
+            p / denom, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
                   *, block_k, sm_scale, kv_len):
     """One (batch, head, q_block) program: online softmax over K/V blocks."""
@@ -108,10 +137,39 @@ def flash_attention(q, k, v, mask, num_heads,
     B, T, C = q.shape
     D = C // num_heads
     assert C % num_heads == 0
-    assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(D)
 
     mask_i = mask.astype(jnp.int32)[:, None, :]       # (B, 1, T)
+
+    # Small heads (D < 128): pack 128/D heads per 128-channel block and
+    # unroll inside the kernel — TPU tiling needs 128-lane minor blocks
+    if D < 128 and T <= 1024:
+        per_block = 128 // D
+        assert 128 % D == 0 and num_heads % per_block == 0, (D, num_heads)
+        assert T % 8 == 0, T
+        groups = num_heads // per_block
+        out = pl.pallas_call(
+            functools.partial(_fused_kernel_packed, sm_scale=sm_scale,
+                              heads_per_block=per_block, d_head=D),
+            grid=(B, groups),
+            in_specs=[
+                pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, C), q.dtype),
+            interpret=interpret,
+        )(mask_i, q, k, v)
+        return out
+
+    assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
 
     # Head h occupies channels [h*D, (h+1)*D): BlockSpec block index h in
     # the C dimension slices it with no transpose.

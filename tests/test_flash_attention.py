@@ -58,3 +58,24 @@ def test_fully_masked_rows_are_zero():
     assert np.abs(out[0]).max() == 0.0
     ref = reference_attention(q[1:], k[1:], v[1:], mask[1:])
     np.testing.assert_allclose(out[1:], ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('D,H', [(64, 4), (64, 2), (32, 4)])
+def test_flash_packed_small_heads_matches_reference(D, H):
+    """d_head < 128 packs 128/D heads per block (wav2vec2's 12 x 64)."""
+    rng = np.random.default_rng(2)
+    B, T = 2, 200                      # T % 8 == 0, not a block multiple
+    q, k, v = (rng.standard_normal((B, H, T, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[1, T - 30:] = False
+
+    def pack(a):
+        return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(B, T, H * D))
+
+    out = np.asarray(flash_attention(
+        pack(q), pack(k), pack(v), jnp.asarray(mask), num_heads=H,
+        interpret=True))
+    out = out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    ref = reference_attention(q, k, v, mask)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
