@@ -191,7 +191,7 @@ def _use_flash(d_head: int, heads: int, t: int) -> bool:
         on_tpu = jax.default_backend() == 'tpu'
     except RuntimeError:
         return False
-    return (on_tpu and t <= 1024 and t % 8 == 0
+    return (on_tpu and t <= 1024
             and 128 % d_head == 0 and heads % (128 // d_head) == 0)
 
 
@@ -211,7 +211,14 @@ def _attention(x, p, mask, heads, compute_dtype, precision):
 
         key_mask = (mask > 0 if mask is not None
                     else jnp.ones((B, T), bool))
-        out = fa.flash_attention(q, k, v, key_mask, heads)
+        # Sublane alignment: pad T to a multiple of 8 (padded keys are
+        # masked out; padded query rows are sliced off)
+        t8 = -(-T // 8) * 8
+        if t8 != T:
+            widths = ((0, 0), (0, t8 - T), (0, 0))
+            q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, t8 - T)))
+        out = fa.flash_attention(q, k, v, key_mask, heads)[:, :T]
         out = out.astype(compute_dtype)
         return (out @ p['wo'].astype(compute_dtype)
                 + p['bo'].astype(compute_dtype)).astype(x.dtype)
