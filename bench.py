@@ -247,6 +247,12 @@ def main():
             }
             out_frames = S // config.hopsize
 
+            import dataclasses
+
+            # The frontend's production dtype (bf16 matmuls + Pallas
+            # packed-head attention; preprocess/w2v2fb.py passes the same)
+            wcfg = dataclasses.replace(w2v2.BASE, compute_dtype='bfloat16')
+
             def w2v2fb_pipeline(p, audio):
                 padded = jnp.pad(
                     audio,
@@ -254,7 +260,7 @@ def main():
                 ).squeeze(1)
                 lengths = jnp.full((audio.shape[0],), padded.shape[-1],
                                    jnp.int32)
-                hidden = w2v2.forward(p['w2v2'], padded, lengths)
+                hidden = w2v2.forward(p['w2v2'], padded, lengths, wcfg)
                 # hidden.shape is static under jit; the index table traces
                 # to a small constant
                 idx = jnp.asarray(w2v2fb_mod.nearest_upsample_indices(

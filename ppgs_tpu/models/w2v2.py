@@ -147,15 +147,24 @@ def _gelu(x):
 
 def feature_encoder(params, audio, config: W2V2Config = BASE,
                     precision=None):
-    """Raw audio (B, S) -> features (B, T', conv_dim[-1]) at ~50 Hz."""
+    """Raw audio (B, S) -> features (B, T', conv_dim[-1]) at ~50 Hz.
+
+    Convs ride the config compute dtype on the MXU with fp32 accumulation
+    (preferred_element_type); norms/activations stay fp32 — the extractor
+    is ~1/3 of the w2v2 FLOPs and fp32 matmuls run at a fraction of bf16
+    peak on TPU.
+    """
+    compute_dtype = jnp.dtype(config.compute_dtype)
     x = audio[..., None].astype(jnp.float32)          # (B, S, 1)
     for i, layer in enumerate(params['feature_encoder']):
         x = jax.lax.conv_general_dilated(
-            x, layer['conv']['weight'],
+            x.astype(compute_dtype),
+            layer['conv']['weight'].astype(compute_dtype),
             window_strides=(config.conv_stride[i],),
             padding='VALID',
             dimension_numbers=('NHC', 'HIO', 'NHC'),
-            precision=precision)
+            precision=precision,
+            preferred_element_type=jnp.float32)
         if 'group_norm' in layer:
             x = _group_norm(x, layer['group_norm'],
                             groups=config.conv_dim[0])
@@ -167,13 +176,15 @@ def _pos_conv(x, p, config: W2V2Config, precision=None):
     """Grouped positional conv (k=128, groups=16), 'same' pad minus one."""
     k = config.num_conv_pos_embeddings
     pad = k // 2
+    compute_dtype = jnp.dtype(config.compute_dtype)
     out = jax.lax.conv_general_dilated(
-        x, p['weight'],
+        x.astype(compute_dtype), p['weight'].astype(compute_dtype),
         window_strides=(1,),
         padding=((pad, pad),),
         dimension_numbers=('NHC', 'HIO', 'NHC'),
         feature_group_count=config.num_conv_pos_embedding_groups,
-        precision=precision)
+        precision=precision,
+        preferred_element_type=jnp.float32)
     out = out + p['bias']
     if k % 2 == 0:
         out = out[:, :-1]                              # SamePadLayer

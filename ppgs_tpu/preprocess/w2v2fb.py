@@ -40,11 +40,18 @@ def nearest_upsample_indices(in_size: int, out_size: int):
     return (np.arange(out_size) * in_size // out_size).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=('out_frames',))
-def _forward(params, audio, lengths, out_frames):
+@functools.partial(jax.jit, static_argnames=('out_frames', 'compute_dtype'))
+def _forward(params, audio, lengths, out_frames, compute_dtype='bfloat16'):
+    import dataclasses
+
     padded = jnp.pad(audio, ((0, 0), (0, 0), (PAD, PAD))).squeeze(1)
     sample_lengths = lengths + 2 * PAD
-    hidden = w2v2.forward(params, padded, sample_lengths)  # (B, T50, 768)
+    # Frontend compute rides the config dtype (bf16 default on TPU, with
+    # fp32 accumulations/statistics inside; the reference serves fp16
+    # autocast hidden states and caches fp16 — set
+    # config.compute_dtype='float32' for strict-parity numerics)
+    wcfg = dataclasses.replace(w2v2.BASE, compute_dtype=compute_dtype)
+    hidden = w2v2.forward(params, padded, sample_lengths, wcfg)
     hidden = hidden.transpose(0, 2, 1)                     # (B, 768, T50)
     idx = jnp.asarray(
         nearest_upsample_indices(hidden.shape[-1], out_frames))
@@ -59,8 +66,8 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
         lengths = np.full((audio.shape[0],), audio.shape[-1])
     lengths = jnp.asarray(lengths)
     out_frames = audio.shape[-1] // config.hopsize
-    return _forward(_params(), audio, lengths,
-                    out_frames).astype(output_dtype)
+    return _forward(_params(), audio, lengths, out_frames,
+                    config.compute_dtype).astype(output_dtype)
 
 
 def from_audio(audio, sample_rate=None, config=None):

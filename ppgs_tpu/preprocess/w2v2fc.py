@@ -30,12 +30,12 @@ def _params():
     return load_mod.load_params(W2V2FC_CHECKPOINT)
 
 
-@jax.jit
-def _forward(params, audio, lengths):
+@functools.partial(jax.jit, static_argnames=('compute_dtype',))
+def _forward(params, audio, lengths, compute_dtype='bfloat16'):
     padded = jnp.pad(audio, ((0, 0), (0, 0), (PADDING, PADDING))).squeeze(1)
     sample_lengths = lengths + 2 * PADDING
     hidden = w2v2.forward(params['w2v2'], padded, sample_lengths,
-                          w2v2_100hz_config())
+                          w2v2_100hz_config(compute_dtype))
     return hidden.transpose(0, 2, 1)            # (B, 768, T100)
 
 
@@ -44,7 +44,8 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
     audio = jnp.asarray(audio)
     if lengths is None:
         lengths = np.full((audio.shape[0],), audio.shape[-1])
-    out = _forward(_params(), audio, jnp.asarray(lengths))
+    out = _forward(_params(), audio, jnp.asarray(lengths),
+                   config.compute_dtype)
     frames = audio.shape[-1] // config.hopsize
     return out[..., :frames].astype(output_dtype)
 

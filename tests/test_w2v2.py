@@ -122,3 +122,31 @@ def test_final_stride_variant():
     l50 = int(w2v2.feat_extract_output_lengths(np.array([1600]), cfg)[0])
     l100 = int(w2v2.feat_extract_output_lengths(np.array([1600]), cfg100)[0])
     assert l100 > 2 * l50 - 4
+
+
+def test_w2v2_bf16_close_to_fp32():
+    """The production bf16 frontend path stays within the fp16-cache noise
+    envelope of the strict fp32 path (stats/accumulations are fp32)."""
+    import dataclasses
+
+    import jax
+
+    from ppgs_tpu.models import w2v2
+
+    params = w2v2.init(jax.random.PRNGKey(0), dataclasses.replace(
+        w2v2.BASE, conv_dim=(64,) * 7, hidden_size=128, num_layers=2,
+        num_heads=2, intermediate_size=256))
+    small32 = dataclasses.replace(
+        w2v2.BASE, conv_dim=(64,) * 7, hidden_size=128, num_layers=2,
+        num_heads=2, intermediate_size=256, compute_dtype='float32')
+    small16 = dataclasses.replace(small32, compute_dtype='bfloat16')
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32) * 0.1
+    lengths = jnp.asarray([8000, 6400])
+
+    h32 = np.asarray(w2v2.forward(params, audio, lengths, small32))
+    h16 = np.asarray(w2v2.forward(params, audio, lengths, small16))
+    assert h32.shape == h16.shape
+    scale = np.abs(h32).mean()
+    assert np.abs(h32 - h16).mean() < 0.05 * scale
