@@ -31,12 +31,15 @@ Design notes (TPU-first):
 - Composes with data parallelism: pass ``batch_axis`` to shard the
   microbatch dim over a second mesh axis (DP x PP 2D mesh).
 
-Known layout limitation: microbatched activations enter replicated over the
-pipe axis and the output buffer is psum-replicated from the last stage, so
-PP here shards parameters and compute but NOT activation memory, and pays
-an O(output) all-reduce. At this model's scale (d=256, 40 output dims) both
-are noise; revisit (stage-0 ingest + last-stage drain via ppermute) before
-scaling to models where activations dominate.
+Output drains from the LAST stage only: each stage returns its output
+buffer with a leading per-stage dim sharded over ``axis`` and the caller
+slices the last stage's shard — GSPMD lowers that to a one-hop broadcast
+of the real data instead of an O(output) ring all-reduce of a buffer that
+is (n-1)/n zeros. Remaining layout limitation: microbatched activations
+still ENTER replicated over the pipe axis (every stage holds the full
+input), so PP here shards parameters and compute but not ingest activation
+memory; at this model's scale (d=256) that is noise — revisit (ring-forward
+stage-0 ingest) before scaling to models where activations dominate.
 
 The input/output convolutions and positional encoding run outside the
 staged region (they are a few percent of FLOPs and need the full batch),
@@ -137,9 +140,11 @@ def pipeline_forward(
     out = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(None, batch_axis), P(None, batch_axis), P()),
-        out_specs=P(None, batch_axis),
+        out_specs=P(axis, None, batch_axis),
         check_rep=False)(stacked, xm, maskm, key_data)
-    x = out.reshape(B, T, -1)
+    # Drain: only the last stage's buffer holds results; slicing its shard
+    # lowers to a one-hop broadcast from the last pipeline stage.
+    x = out[n - 1].reshape(B, T, -1)
 
     # Output conv + mask (outside the staged region)
     x = transformer.conv1d_same(
@@ -208,6 +213,6 @@ def _stage_body(stacked, x_mb, mask_mb, key_data, *, axis, n, m, heads,
 
     init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
     (_, out_buf), _ = jax.lax.scan(tick, init, jnp.arange(m + n - 1))
-    # Only the last stage's buffer holds results; psum replicates it
-    out_buf = jnp.where(stage == n - 1, out_buf, jnp.zeros_like(out_buf))
-    return jax.lax.psum(out_buf, axis)
+    # Per-stage buffer with a leading stage dim; only the last stage's
+    # entry holds results, and the caller slices exactly that shard.
+    return out_buf[None]
