@@ -206,22 +206,29 @@ def _ffn(x, p, compute_dtype):
             + p['w2']['bias'].astype(compute_dtype)).astype(x.dtype)
 
 
-def _conv_module(x, p, precision):
+def _conv(x, weight, compute_dtype, precision, *, padding='VALID',
+          groups=1, dims=('NHC', 'HIO', 'NHC'), strides=(1,)):
+    """Conv riding the compute dtype on the MXU with fp32 accumulation;
+    norms/activations around it stay in the residual dtype."""
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), weight.astype(compute_dtype),
+        strides, padding, dimension_numbers=dims,
+        feature_group_count=groups, precision=precision,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_module(x, p, compute_dtype, precision):
     """(B, T, C): pointwise->GLU, depthwise k=15, BatchNorm (running stats),
     swish, pointwise."""
-    h = jax.lax.conv_general_dilated(
-        x, p['pointwise1']['weight'], (1,), 'VALID',
-        dimension_numbers=('NHC', 'HIO', 'NHC'), precision=precision)
+    h = _conv(x, p['pointwise1']['weight'], compute_dtype, precision)
     h = h + p['pointwise1']['bias']
     a, b = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(b)                       # GLU
 
     k = p['depthwise']['weight'].shape[0]
     pad = (k - 1) // 2
-    h = jax.lax.conv_general_dilated(
-        h, p['depthwise']['weight'], (1,), ((pad, pad),),
-        dimension_numbers=('NHC', 'HIO', 'NHC'),
-        feature_group_count=h.shape[-1], precision=precision)
+    h = _conv(h, p['depthwise']['weight'], compute_dtype, precision,
+              padding=((pad, pad),), groups=h.shape[-1])
     h = h + p['depthwise']['bias']
 
     bn = p['batch_norm']
@@ -229,10 +236,8 @@ def _conv_module(x, p, precision):
     h = h * bn['scale'] + bn['bias']
     h = _swish(h)
 
-    h = jax.lax.conv_general_dilated(
-        h, p['pointwise2']['weight'], (1,), 'VALID',
-        dimension_numbers=('NHC', 'HIO', 'NHC'), precision=precision)
-    return h + p['pointwise2']['bias']
+    h = _conv(h, p['pointwise2']['weight'], compute_dtype, precision)
+    return (h + p['pointwise2']['bias']).astype(x.dtype)
 
 
 def _block(x, pos_emb, p, mask, config, precision):
@@ -252,7 +257,7 @@ def _block(x, pos_emb, p, mask, config, precision):
     # Convolution module
     residual = x
     x = _layer_norm(x, p['norm_conv'])
-    x = residual + _conv_module(x, p['conv'], precision)
+    x = residual + _conv_module(x, p['conv'], compute_dtype, precision)
 
     # Half-FFN
     residual = x
@@ -270,19 +275,23 @@ def _block(x, pos_emb, p, mask, config, precision):
 def embed(params, features, config: ConformerConfig, precision=None):
     """Conv2dNoSubsampling: (B, T, input_dim) -> ((B, T, d), pos_emb)."""
     p = params['embed']
-    x = features[..., None]                       # (B, T, F, 1)
-    x = jax.lax.conv_general_dilated(
-        x, p['conv1']['weight'], (1, 1), ((2, 2), (2, 2)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    dims = ('NHWC', 'HWIO', 'NHWC')
+    x = features[..., None].astype(jnp.float32)   # (B, T, F, 1)
+    # The 5x5 d->d conv over (T, 80) dominates the whole conformer's FLOPs;
+    # it rides the compute dtype with fp32 accumulation (_conv semantics)
+    x = _conv(x, p['conv1']['weight'], compute_dtype, precision,
+              padding=((2, 2), (2, 2)), dims=dims, strides=(1, 1))
     x = jax.nn.relu(x + p['conv1']['bias'])
-    x = jax.lax.conv_general_dilated(
-        x, p['conv2']['weight'], (1, 1), ((2, 2), (2, 2)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), precision=precision)
+    x = _conv(x, p['conv2']['weight'], compute_dtype, precision,
+              padding=((2, 2), (2, 2)), dims=dims, strides=(1, 1))
     x = jax.nn.relu(x + p['conv2']['bias'])
     B, T, F, C = x.shape
     # torch flattens (C, F): transpose to (B, T, C, F) first
     x = x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
-    x = x @ p['out']['weight'] + p['out']['bias']
+    xc = x.astype(compute_dtype)
+    x = (xc @ p['out']['weight'].astype(compute_dtype)
+         + p['out']['bias'].astype(compute_dtype)).astype(jnp.float32)
 
     # Relative positional encoding: x scaled, reversed table emitted
     x = x * math.sqrt(config.dim)

@@ -45,9 +45,9 @@ def mel_basis(sample_rate: int, num_fft: int, num_mels: int):
     return filterbank.mel_filterbank(sample_rate, num_fft, num_mels)
 
 
-@functools.lru_cache(maxsize=4)
-def blocked_dft_kernel(num_fft: int, window_size: int, hopsize: int):
-    """DFT basis re-blocked for a hop-strided conv, shape (J, hop, 2F).
+def block_analysis_kernel(basis: np.ndarray, hopsize: int):
+    """Re-block a framed-analysis basis (C_out, num_fft) for a hop-strided
+    conv, shape (J, hop, C_out) ['HIO' layout].
 
     A direct framed STFT is a conv with C_in=1, kernel=num_fft, stride=hop —
     a shape the TPU conv emitter handles at ~1/10 of MXU speed (measured:
@@ -57,15 +57,22 @@ def blocked_dft_kernel(num_fft: int, window_size: int, hopsize: int):
     conv-layer shape that tiles perfectly onto the systolic array. Window
     sample n = j*hop + c maps to kernel tap j, channel c; columns past
     num_fft are zero so the math is bit-comparable (same products, K-dim
-    summed in a different order).
+    summed in a different order). Works for any analysis basis (Hann DFT,
+    rectangular DFT, ...).
     """
-    basis = dft_basis(num_fft, window_size)            # (2F, num_fft)
-    taps = -(-num_fft // hopsize)
+    taps = -(-basis.shape[1] // hopsize)
     padded = np.zeros((basis.shape[0], taps * hopsize), np.float32)
-    padded[:, :num_fft] = basis
-    # (2F, J*hop) -> (2F, J, hop) -> (J, hop, 2F)  ['HIO' kernel layout]
+    padded[:, :basis.shape[1]] = basis
+    # (C, J*hop) -> (C, J, hop) -> (J, hop, C)
     return np.ascontiguousarray(
         padded.reshape(basis.shape[0], taps, hopsize).transpose(1, 2, 0))
+
+
+@functools.lru_cache(maxsize=4)
+def blocked_dft_kernel(num_fft: int, window_size: int, hopsize: int):
+    """Hann-windowed DFT basis re-blocked for a hop-strided conv (J, hop, 2F);
+    see block_analysis_kernel."""
+    return block_analysis_kernel(dft_basis(num_fft, window_size), hopsize)
 
 
 ###############################################################################

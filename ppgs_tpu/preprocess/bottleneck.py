@@ -13,6 +13,7 @@ The STFT is the same DFT-as-conv MXU formulation as ops/stft.py with a
 rectangular window zero-padded to n_fft.
 """
 
+import dataclasses
 import functools
 from pathlib import Path
 
@@ -23,6 +24,7 @@ import numpy as np
 from .. import config as config_mod
 from ..models import conformer
 from ..ops import filterbank
+from ..ops import stft as stft_ops
 
 N_FFT = 1024
 WIN_LENGTH = 800
@@ -62,13 +64,30 @@ def _mel_basis():
     return filterbank.mel_filterbank(16000, N_FFT, 80)
 
 
+@functools.lru_cache(maxsize=1)
+def _blocked_dft_kernel():
+    """Rect-window DFT basis re-blocked for the hop-channel strided conv
+    (ops/stft.py block_analysis_kernel): the C_in=1/kernel=1024/stride=160
+    shape runs at ~1/10 MXU speed; the re-blocked C_in=160/kernel=7/stride=1
+    shape tiles onto the systolic array."""
+    return stft_ops.block_analysis_kernel(_dft_basis(), HOP)
+
+
 def log_mel_power(audio, lengths, precision=None):
     """(B, S) padded audio -> ((B, T, 80) log-mel power feats, olens)."""
-    basis = jnp.asarray(_dft_basis())
+    kernel = jnp.asarray(_blocked_dft_kernel())   # (J, hop, 2F)
+    taps = kernel.shape[0]
+    B, P = audio.shape
+    T = (P - N_FFT) // HOP + 1
+    # Re-block samples into hop-sized channels; basis columns >= N_FFT are
+    # zero so right zero-padding to (T + J - 1) * hop is exact
+    need = (T + taps - 1) * HOP
+    x = jnp.pad(audio, ((0, 0), (0, max(0, need - P))))[:, :need]
+    blocks = x.reshape(B, T + taps - 1, HOP)
     out = jax.lax.conv_general_dilated(
-        audio[:, None, :], basis[:, None, :],
-        window_strides=(HOP,), padding='VALID',
-        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        blocks, kernel,
+        window_strides=(1,), padding='VALID',
+        dimension_numbers=('NHC', 'HIO', 'NCH'),
         precision=precision)                      # (B, 2F, T)
     n_freqs = N_FFT // 2 + 1
     real, imag = out[:, :n_freqs], out[:, n_freqs:]
@@ -94,22 +113,32 @@ def utterance_mvn(x, olens):
     return x / jnp.sqrt(std)
 
 
-@jax.jit
-def _forward(params, audio, lengths):
+@functools.partial(jax.jit, static_argnames=('compute_dtype',))
+def _forward(params, audio, lengths, compute_dtype='bfloat16'):
     feats, olens = log_mel_power(audio, lengths)
     feats = utterance_mvn(feats, olens)
-    out = conformer.forward(params, feats, olens, conformer.BOTTLENECK)
+    cfg = dataclasses.replace(
+        conformer.BOTTLENECK, compute_dtype=compute_dtype)
+    out = conformer.forward(params, feats, olens, cfg)
     return out.transpose(0, 2, 1)                 # (B, 144, T)
 
 
 def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
-    """(B, 1, S) audio @16 kHz -> (B, 144, ~S//160) bottleneck latents."""
+    """(B, 1, S) audio @16 kHz -> (B, 144, ~S//160) bottleneck latents.
+
+    The conformer encoder rides the PPG config's compute dtype (bf16 matmuls
+    with fp32 statistics/residuals by default; pass a config with
+    compute_dtype='float32' for strict-parity numerics, as w2v2fb does)."""
     audio = jnp.asarray(audio)
     if lengths is None:
         lengths = np.full((audio.shape[0],), audio.shape[-1])
     lengths = jnp.asarray(lengths) + 2 * PAD
     padded = jnp.pad(audio, ((0, 0), (0, 0), (PAD, PAD))).squeeze(1)
-    return _forward(_params(), padded, lengths).astype(output_dtype)
+    compute_dtype = (config.compute_dtype if config is not None
+                     else 'bfloat16')
+    return _forward(
+        _params(), padded, lengths,
+        compute_dtype=compute_dtype).astype(output_dtype)
 
 
 def from_audio(audio, sample_rate=None, config=None):

@@ -98,3 +98,26 @@ def test_full_bottleneck_pipeline_shapes(monkeypatch):
     # 1 s @ 16 kHz with pad 432 -> exactly 100 frames @100 Hz
     assert out.shape == (1, 144, 100)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bottleneck_bf16_close_to_fp32(monkeypatch):
+    """The production bf16 conformer path tracks strict fp32 numerics
+    (bf16 matmuls, fp32 accumulation/statistics/residuals)."""
+    import jax
+
+    import ppgs_tpu
+    from ppgs_tpu.models import conformer as conformer_mod
+
+    tiny = conformer_mod.ConformerConfig(num_blocks=2)
+    params = conformer_mod.init(jax.random.PRNGKey(0), tiny)
+    monkeypatch.setattr(bottleneck, '_params', lambda: params)
+    monkeypatch.setattr(bottleneck.conformer, 'BOTTLENECK', tiny)
+
+    audio = np.random.default_rng(3).standard_normal(
+        (2, 1, 16000)).astype(np.float32) * 0.1
+    fp32 = np.asarray(bottleneck.from_audios(
+        audio, config=ppgs_tpu.Config(compute_dtype='float32')))
+    bf16 = np.asarray(bottleneck.from_audios(audio))
+    scale = np.abs(fp32).max()
+    assert scale > 0
+    np.testing.assert_allclose(bf16 / scale, fp32 / scale, atol=3e-2)
