@@ -5,12 +5,16 @@ measurement bench.py uses (N applications inside one jitted program, slope
 over two N, wall-clock-seeded inputs) so dispatch overhead and runtime
 result caching cancel. Prints per-stage device ms + implied MFU.
 
-Usage: PYTHONPATH=/root/repo python scripts/w2v2_breakdown.py
+Usage: python scripts/w2v2_breakdown.py   (from anywhere; do NOT override
+PYTHONPATH — the TPU plugin loads via PYTHONPATH=/root/.axon_site)
 """
 
 import dataclasses
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
