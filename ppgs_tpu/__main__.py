@@ -22,6 +22,9 @@ def parse_args():
     parser.add_argument('--config', default=None,
                         help='Named config (mel, w2v2fb, ...)')
     parser.add_argument('--num-workers', type=int, default=0)
+    parser.add_argument('--max-frames', type=int, default=None,
+                        help='Maximum frames per inference batch '
+                             '(num_workers > 0 path)')
     parser.add_argument('--legacy-mode', action='store_true')
     return parser.parse_args()
 
@@ -51,6 +54,7 @@ def main():
         representation=args.representation,
         checkpoint=args.checkpoint,
         num_workers=args.num_workers,
+        max_frames=args.max_frames,
         legacy_mode=args.legacy_mode,
         config=config)
 

@@ -68,6 +68,14 @@ class Metadata:
         # Drop over-long utterances (reference dataset.py:193-198)
         if max_frames is not None:
             keep = [i for i, l in enumerate(self.lengths) if l <= max_frames]
+            if len(keep) < len(self.lengths):
+                import warnings
+
+                for i in set(range(len(self.lengths))) - set(keep):
+                    warnings.warn(
+                        f'File {self.audio_files[i]} of length '
+                        f'{self.lengths[i]} exceeds max_frames of '
+                        f'{max_frames}. Skipping.')
             self.stems = [self.stems[i] for i in keep]
             self.audio_files = [self.audio_files[i] for i in keep]
             self.lengths = [self.lengths[i] for i in keep]
