@@ -131,13 +131,18 @@ def _layer_norm(x, p, eps=1e-5):
 
 
 def _group_norm(x, p, groups, eps=1e-5):
-    """GroupNorm over (B, T, C) with C split into groups (channels-last)."""
+    """GroupNorm over (B, T, C) with C split into groups (channels-last).
+
+    Transpose-free (reductions run directly over the (T, C//groups) axes of
+    the (B, T, G, C//G) view — at the feature-extractor's multi-GB
+    activation sizes a materialized permute is pure HBM traffic) with fp32
+    statistics regardless of the storage dtype."""
     B, T, C = x.shape
-    xg = x.reshape(B, T, groups, C // groups).transpose(0, 2, 1, 3)
-    mean = xg.mean(axis=(2, 3), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(2, 3), keepdims=True)
+    xg = x.reshape(B, T, groups, C // groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.transpose(0, 2, 1, 3).reshape(B, T, C)
+    x = xg.reshape(B, T, C)
     return x * p['scale'] + p['bias']
 
 
@@ -149,13 +154,19 @@ def feature_encoder(params, audio, config: W2V2Config = BASE,
                     precision=None):
     """Raw audio (B, S) -> features (B, T', conv_dim[-1]) at ~50 Hz.
 
-    Convs ride the config compute dtype on the MXU with fp32 accumulation
-    (preferred_element_type); norms/activations stay fp32 — the extractor
-    is ~1/3 of the w2v2 FLOPs and fp32 matmuls run at a fraction of bf16
-    peak on TPU.
+    In bf16 mode the inter-layer activation stream (conv outputs, GELU) is
+    stored bf16 — the first conv's output is (B, S/5, 512), gigabytes at
+    the bench workload, so fp32 storage doubles peak activation HBM for
+    nothing. Measured notes (scripts/w2v2_breakdown.py): the stack runs at
+    ~0.33 MFU limited by the strided-conv emitter itself — re-blocking the
+    strided convs into stride-1 shapes (ops/stft.py trick) made it SLOWER
+    (+33% zero-padded FLOPs, doubled reads), and the stream-width/transpose
+    changes here were time-neutral. Group-norm statistics accumulate in
+    fp32. The fp32 config path keeps everything fp32 (strict parity; tests
+    compare vs HF torch).
     """
     compute_dtype = jnp.dtype(config.compute_dtype)
-    x = audio[..., None].astype(jnp.float32)          # (B, S, 1)
+    x = audio[..., None].astype(compute_dtype)        # (B, S, 1)
     for i, layer in enumerate(params['feature_encoder']):
         x = jax.lax.conv_general_dilated(
             x.astype(compute_dtype),
@@ -164,12 +175,12 @@ def feature_encoder(params, audio, config: W2V2Config = BASE,
             padding='VALID',
             dimension_numbers=('NHC', 'HIO', 'NHC'),
             precision=precision,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=compute_dtype)
         if 'group_norm' in layer:
             x = _group_norm(x, layer['group_norm'],
-                            groups=config.conv_dim[0])
+                            groups=config.conv_dim[0]).astype(compute_dtype)
         x = _gelu(x)
-    return x
+    return x.astype(jnp.float32)
 
 
 def _pos_conv(x, p, config: W2V2Config, precision=None):

@@ -42,11 +42,13 @@ def chained(raw_fn, params, inputs, n1=3, n2=9):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     def run_n(n):
-        many(params, inputs[0], n).block_until_ready()
+        # Fetch a VALUE, not just block_until_ready: a degraded remote
+        # runtime acks readiness without computing (verify-skill gotcha)
+        float(np.asarray(jax.device_get(many(params, inputs[0], n))))
         best = float('inf')
         for j in (1, 2, 3):
             t0 = time.perf_counter()
-            many(params, inputs[j], n).block_until_ready()
+            float(np.asarray(jax.device_get(many(params, inputs[j], n))))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -66,6 +68,12 @@ def flops_of(raw_fn, params, x):
 def report(name, raw_fn, params, inputs):
     t = chained(raw_fn, params, inputs)
     f = flops_of(raw_fn, params, inputs[0])
+    floor = (f / PEAK) if f else 0.0
+    if t < 0.5 * floor:
+        print(f'{name:18s} REJECTED (t={t * 1e3:.3f} ms < half the '
+              f'{floor * 1e3:.2f} ms speed-of-light floor: degraded '
+              f'runtime)', flush=True)
+        return float('nan')
     mfu = f / t / PEAK if f else float('nan')
     print(f'{name:18s} {t * 1e3:9.2f} ms   '
           f'{(f or 0) / 1e9:9.1f} GFLOP   mfu={mfu:.3f}', flush=True)
