@@ -34,8 +34,10 @@ def chained(raw_fn, params, inputs, n1=4, n2=12):
     @jax.jit
     def many(p, x, n):
         def body(i, acc):
-            out = raw_fn(p, x + acc * 1e-30)
-            return out.ravel()[0].astype(jnp.float32)
+            out = raw_fn(p, x + (acc * 1e-30).astype(x.dtype))
+            # mean(), NOT out.ravel()[0]: XLA narrows convs through a
+            # single-element consumer (slice-of-conv -> conv-of-slice)
+            return out.mean().astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     def run_n(n):
@@ -74,7 +76,7 @@ def main():
         xc = x.astype(cd)
         out = xc
         for w, b in (('wq', 'bq'), ('wk', 'bk'), ('wv', 'bv'), ('wo', 'bo')):
-            out = out @ p[w].astype(cd) + p[b].astype(cd)
+            out = out @ p['attn'][w].astype(cd) + p['attn'][b].astype(cd)
         return out.astype(jnp.float32)
 
     def ffn(p, x):
@@ -173,6 +175,26 @@ def main():
 
     report('gelu exact', gelu_exact, params, g_xs, 1.0)
     report('gelu tanh', gelu_tanh, params, g_xs, 1.0)
+
+    # pos_conv alternative: groups folded into the batch dim, dense conv
+    def pos_conv_batched(p, x):
+        w = p['pos_conv']['weight'].astype(cd)        # (128, 48, 768)
+        G, ci = 16, 48
+        Bx, Tx, Dx = x.shape
+        xg = x.astype(cd).reshape(Bx, Tx, G, ci).transpose(2, 0, 1, 3)
+        # per-group kernels: w[:, :, g*48:(g+1)*48] -> (G, 128, 48, 48)
+        wg = w.reshape(128, ci, G, ci + 0).transpose(2, 0, 1, 3)
+        # conv each group against its own kernel via vmap over G
+        def one(xs, ws):
+            return jax.lax.conv_general_dilated(
+                xs, ws, (1,), ((64, 64),),
+                dimension_numbers=('NHC', 'HIO', 'NHC'),
+                preferred_element_type=jnp.float32)
+        out = jax.vmap(one)(xg, wg)                   # (G, B, T+1, 48)
+        out = out[:, :, :Tx]
+        return out.transpose(1, 2, 0, 3).reshape(Bx, Tx, Dx)
+
+    report('pos_conv batched', pos_conv_batched, enc, xs, f_pos)
 
 
 if __name__ == '__main__':

@@ -37,8 +37,10 @@ def chained(raw_fn, params, inputs, n1=3, n2=9):
     @jax.jit
     def many(p, x, n):
         def body(i, acc):
-            out = raw_fn(p, x + acc * 1e-30)
-            return out.ravel()[0].astype(jnp.float32)
+            out = raw_fn(p, x + (acc * 1e-30).astype(x.dtype))
+            # mean(), NOT out.ravel()[0]: XLA narrows convs through a
+            # single-element consumer (slice-of-conv -> conv-of-slice)
+            return out.mean().astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     def run_n(n):
