@@ -33,22 +33,27 @@ NEG_INF = -1e30
 
 
 def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
-    """One (batch, head) program; refs are (1, T, D) head slices."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale       # (T, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    """One (batch, head) program; refs are (1, T, D) head slices.
+
+    Dots run in the INPUT dtype (bf16 on the production path — fp32 MXU
+    passes run at a fraction of bf16 rate) with fp32 accumulation; softmax
+    statistics are always fp32, and sm_scale is applied to the fp32 logits
+    (exact for any d_head)."""
+    q = q_ref[0]                                      # (T, D), native dtype
+    k = k_ref[0]
+    v = v_ref[0]
     mask = mask_ref[0, 0, :]                          # (T,)
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (T, T)
+        preferred_element_type=jnp.float32) * sm_scale    # (T, T) fp32
     logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
     row_max = logits.max(axis=-1, keepdims=True)
     p = jnp.exp(logits - row_max)
     p = jnp.where(mask[None, :] > 0, p, 0.0)
     denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
     o_ref[0] = (jax.lax.dot_general(
-        p / denom, v, (((1,), (0,)), ((), ())),
+        (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)).astype(o_ref.dtype)
 
 
@@ -58,10 +63,10 @@ def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
     block packs ``heads_per_block`` heads side by side; each head's
     attention runs separately on its 64-lane slice (static unroll), so
     small-head models (wav2vec2: 12 heads x 64) keep the no-transpose
-    layout and VMEM-resident softmax."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale       # (T, P*dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    layout and VMEM-resident softmax. Dot dtypes as in _fused_kernel."""
+    q = q_ref[0]                                      # (T, P*dh)
+    k = k_ref[0]
+    v = v_ref[0]
     mask = mask_ref[0, 0, :]                          # (T,)
 
     outs = []
@@ -69,22 +74,24 @@ def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
         sl = slice(j * d_head, (j + 1) * d_head)
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (T, T)
+            preferred_element_type=jnp.float32) * sm_scale    # (T, T) fp32
         logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
         row_max = logits.max(axis=-1, keepdims=True)
         p = jnp.exp(logits - row_max)
         p = jnp.where(mask[None, :] > 0, p, 0.0)
         denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
         outs.append(jax.lax.dot_general(
-            p / denom, v[:, sl], (((1,), (0,)), ((), ())),
+            (p / denom).astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
                   *, block_k, sm_scale, kv_len):
-    """One (batch, head, q_block) program: online softmax over K/V blocks."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale       # (BQ, D)
+    """One (batch, head, q_block) program: online softmax over K/V blocks.
+    Dot dtypes as in _fused_kernel (native-dtype operands, fp32
+    accumulation/statistics)."""
+    q = q_ref[0]                                      # (BQ, D)
     bq, d = q.shape
 
     acc = jnp.zeros((bq, d), dtype=jnp.float32)
@@ -95,13 +102,13 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
 
     def body(i, carry):
         acc, row_max, row_sum = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         mask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32) * sm_scale
         logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
 
         new_max = jnp.maximum(row_max, logits.max(axis=-1, keepdims=True))
@@ -110,7 +117,7 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(mask[None, :] > 0, p, 0.0)
 
         acc = acc * correction + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         row_sum = row_sum * correction + p.sum(axis=-1, keepdims=True)
         return acc, new_max, row_sum
