@@ -71,11 +71,13 @@ class Metadata:
             if len(keep) < len(self.lengths):
                 import warnings
 
-                for i in set(range(len(self.lengths))) - set(keep):
-                    warnings.warn(
-                        f'File {self.audio_files[i]} of length '
-                        f'{self.lengths[i]} exceeds max_frames of '
-                        f'{max_frames}. Skipping.')
+                # Warn in scan order (deterministic, diffable across runs)
+                for i, length in enumerate(self.lengths):
+                    if length > max_frames:
+                        warnings.warn(
+                            f'File {self.audio_files[i]} of length '
+                            f'{length} exceeds max_frames of '
+                            f'{max_frames}. Skipping.')
             self.stems = [self.stems[i] for i in keep]
             self.audio_files = [self.audio_files[i] for i in keep]
             self.lengths = [self.lengths[i] for i in keep]

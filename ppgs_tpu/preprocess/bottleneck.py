@@ -78,6 +78,11 @@ def log_mel_power(audio, lengths, precision=None):
     kernel = jnp.asarray(_blocked_dft_kernel())   # (J, hop, 2F)
     taps = kernel.shape[0]
     B, P = audio.shape
+    if P < N_FFT:
+        raise ValueError(
+            f'Audio too short for the bottleneck frontend: {P} padded '
+            f'samples < one {N_FFT}-sample analysis window (need at least '
+            f'{N_FFT - 2 * PAD} raw samples before the +/-{PAD} padding).')
     T = (P - N_FFT) // HOP + 1
     # Re-block samples into hop-sized channels; basis columns >= N_FFT are
     # zero so right zero-padding to (T + J - 1) * hop is exact
@@ -136,8 +141,19 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
     padded = jnp.pad(audio, ((0, 0), (0, 0), (PAD, PAD))).squeeze(1)
     compute_dtype = (config.compute_dtype if config is not None
                      else 'bfloat16')
+    params = _params()
+    if config is not None:
+        # Config-reachable frontend TP (SURVEY §2.b item 3): a >1 'model'
+        # mesh axis shards the conformer over it
+        from .. import parallel as parallel_mod
+
+        placement = parallel_mod.frontend_tp_placement(
+            params, config, rule=parallel_mod.conformer_param_sharding)
+        if placement is not None:
+            params, in_sharding = placement
+            padded = jax.device_put(padded, in_sharding)
     return _forward(
-        _params(), padded, lengths,
+        params, padded, lengths,
         compute_dtype=compute_dtype).astype(output_dtype)
 
 

@@ -90,9 +90,7 @@ def main():
         return w2v2._attention(x, p['attn'], None, H, cd, None)
 
     def pos_conv(p, x):
-        return w2v2._pos_conv(x, p['pos_conv'],
-                              w2v2.BASE.with_final_stride(2)
-                              if False else w2v2.BASE)
+        return w2v2._pos_conv(x, p['pos_conv'], w2v2.BASE)
 
     def lnorm(p, x):
         return w2v2._layer_norm(x, p['norm1'])
