@@ -167,10 +167,21 @@ def from_audio(
     sample_rate: Union[int, float] = None,
     representation: str = None,
     checkpoint=None,
+    lengths=None,
     legacy_mode: bool = False,
     config=None,
 ):
-    """Infer PPGs from batched audio (B, 1, S) -> (B, P, frames)."""
+    """Infer PPGs from batched audio (B, 1, S) -> (B, P, frames).
+
+    ``lengths``: per-row valid sample counts (B,), defaulting to the full
+    physical length S for every row. With variable-length rows, zero-pad the
+    audio to a common S, pass the true lengths here, and read each row's
+    first ``lengths[i] // hopsize`` output frames (frames past a row's
+    length are masked; their softmax is the meaningless uniform 1/P).
+    Batch semantics match ``from_dataloader``: frontends run on the padded
+    batch tensor (reference ppgs/preprocess semantics), so a shorter row's
+    final frames see the batch zero padding, not a per-row edge reflection.
+    """
     config = config_mod.get(config)
     representation = representation or config.representation
     sample_rate = sample_rate or config.sample_rate
@@ -178,17 +189,37 @@ def from_audio(
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
         audio = audio[None]
+    B = audio.shape[0]
+    if lengths is not None:
+        lengths = np.asarray(lengths, dtype=np.int64).reshape(-1)
+        if lengths.shape[0] != B:
+            raise ValueError(
+                f'lengths has {lengths.shape[0]} entries for batch size {B}')
     if sample_rate != config.sample_rate:
         from .data import audio as audio_io
 
         audio = audio_io.resample(audio, sample_rate, config.sample_rate)
+        if lengths is not None:
+            lengths = np.minimum(
+                np.round(lengths * (config.sample_rate / sample_rate)),
+                audio.shape[-1]).astype(np.int64)
+
+    full = lengths is None
+    if full:
+        lengths = np.full((B,), audio.shape[-1], dtype=np.int64)
 
     features = preprocess.get(representation).from_audios(
-        jnp.asarray(audio), np.array([audio.shape[-1]]), config=config)
-    lengths = np.array([features.shape[-1]], dtype=np.int64)
+        jnp.asarray(audio), lengths, config=config)
+    if full:
+        feat_lengths = np.full((B,), features.shape[-1], dtype=np.int64)
+    else:
+        # Same frame-length derivation as from_dataloader
+        feat_lengths = np.minimum(
+            lengths // config.hopsize, features.shape[-1])
     return from_features(
-        features, lengths, representation=representation,
-        checkpoint=checkpoint, legacy_mode=legacy_mode, config=config)
+        features, feat_lengths, representation=representation,
+        checkpoint=checkpoint, legacy_mode=legacy_mode, config=config,
+        extent=int(np.max(feat_lengths)) if not full else None)
 
 
 def from_features(

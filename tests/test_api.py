@@ -220,3 +220,50 @@ def test_infer_context_parallel_via_config(checkpoint):
         features, lengths, checkpoint=path, config=cp_config))
     assert cp_out.shape == default_out.shape
     np.testing.assert_allclose(cp_out, default_out, rtol=1e-5, atol=1e-6)
+
+
+def test_from_audio_batched_lengths(checkpoint):
+    """Per-row lengths through the public audio API: the batched call
+    reproduces the from_dataloader recipe exactly, and the full-length row
+    matches its single-utterance call."""
+    from ppgs_tpu.preprocess import mel as mel_mod
+
+    tm, path = checkpoint
+    rng = np.random.default_rng(7)
+    S = 48000
+    lengths = np.array([S, 32000, 24000], dtype=np.int64)
+    audio = (0.1 * rng.standard_normal((3, 1, S))).astype(np.float32)
+    for i, n in enumerate(lengths):
+        audio[i, :, n:] = 0.0
+
+    config = ppgs_tpu.Config()
+    batched = np.asarray(ppgs_tpu.from_audio(
+        audio, 16000, checkpoint=path, lengths=lengths, config=config))
+    assert batched.shape == (3, 40, S // config.hopsize)
+
+    # Exact parity with the from_dataloader semantics (reference
+    # ppgs/core.py:280-391: frontend on the padded batch, per-row frame
+    # lengths, physical extent = batch max)
+    feats = mel_mod.from_audios(jnp.asarray(audio), lengths, config=config)
+    feat_lengths = np.minimum(lengths // config.hopsize, feats.shape[-1])
+    manual = np.asarray(ppgs_tpu.from_features(
+        feats, feat_lengths, checkpoint=path, config=config,
+        extent=int(feat_lengths.max())))
+    np.testing.assert_array_equal(batched, manual)
+
+    # The full-length row matches its own single-utterance call
+    single = np.asarray(ppgs_tpu.from_audio(
+        audio[0:1], 16000, checkpoint=path, config=config))
+    np.testing.assert_allclose(batched[0], single[0], rtol=1e-5, atol=1e-6)
+
+    # Valid frames of a shorter row carry real probability mass; frames
+    # past its length are the masked uniform and get trimmed by callers
+    n1 = int(feat_lengths[1])
+    np.testing.assert_allclose(batched[1, :, :n1].sum(0), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(
+        batched[1, :, n1 + 1:], 1.0 / 40, rtol=1e-3)
+
+    # Mismatched lengths raise
+    with pytest.raises(ValueError):
+        ppgs_tpu.from_audio(audio, 16000, checkpoint=path,
+                            lengths=[S, 32000], config=config)
