@@ -171,16 +171,50 @@ def _stack_kernel(x_ref, mask_ref,
 DEFAULT_BLOCK_B = 16
 
 
+# Physical VMEM per core by device_kind substring (first match wins).
+# Sources: public TPU system architecture docs / scaling-book; unknown
+# chips fall back conservatively to 32 MB.
+_VMEM_MB = [
+    ('v6', 128), ('trillium', 128),
+    ('v5p', 128),
+    ('v5 lite', 128), ('v5e', 128),
+    ('v4', 32),
+    ('v3', 16), ('v2', 16),
+]
+_FALLBACK_VMEM_MB = 32
+
+
+def _device_vmem_bytes():
+    """Physical per-core VMEM of the runtime device (no env var needed)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _FALLBACK_VMEM_MB * 1024 * 1024
+    for key, mb in _VMEM_MB:
+        if key in kind:
+            return mb * 1024 * 1024
+    return _FALLBACK_VMEM_MB * 1024 * 1024
+
+
 def _vmem_budget_bytes():
-    """Per-step VMEM budget. The target chip class (v6e) has ~128 MB VMEM
-    per core; stay at 64 MB for pipelining headroom. Override via
-    PPGS_TPU_VMEM_BUDGET_MB on smaller-VMEM parts (e.g. 12 on 16 MB v5e)."""
+    """Per-step working-set budget: half the device's physical VMEM
+    (leaves headroom for Mosaic's double-buffered IO pipelining and
+    spills). PPGS_TPU_VMEM_BUDGET_MB overrides for experiments."""
     import os
 
-    return int(os.environ.get('PPGS_TPU_VMEM_BUDGET_MB', '64')) * 1024 * 1024
+    override = os.environ.get('PPGS_TPU_VMEM_BUDGET_MB')
+    if override:
+        return int(override) * 1024 * 1024
+    return _device_vmem_bytes() // 2
 
 
-def _pick_block_b(B, T, C, F, num_layers=1):
+def _vmem_limit_bytes():
+    """Mosaic scoped-vmem cap: ~80% of physical (the default 16 MB cap is
+    far below what large-VMEM parts can pipeline)."""
+    return int(_device_vmem_bytes() * 0.8)
+
+
+def _pick_block_b(B, T, C, F, num_layers=1, budget=None):
     """Largest divisor of B (<= DEFAULT_BLOCK_B) whose working set fits VMEM.
 
     Rough per-step VMEM: (T, C)-shaped live slabs (x32/xc/q/k/v/a/r/y ~ 30
@@ -193,7 +227,8 @@ def _pick_block_b(B, T, C, F, num_layers=1):
     override = os.environ.get('PPGS_TPU_BLOCK_B')
     if override:
         return max(1, min(int(override), B))
-    budget = _vmem_budget_bytes()
+    if budget is None:
+        budget = _vmem_budget_bytes()
     weights = num_layers * (4 * C * C + 2 * C * F) * 2
     for bb in range(min(DEFAULT_BLOCK_B, B), 0, -1):
         if B % bb:
@@ -265,11 +300,11 @@ def encoder_stack(x, mask, layers, heads,
         out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel',),
-            # Default scoped-vmem stack limit is 16 MB; the target chip
-            # class (v6e) has ~128 MB physical VMEM, so let large block_b
-            # working sets through (measured usage scales ~5 MB per window
-            # at T=512, C=256)
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # Default scoped-vmem stack limit is 16 MB; large-VMEM parts
+            # (128 MB v5e/v6e) can pipeline much bigger block_b working
+            # sets (measured ~5 MB per window at T=512, C=256) — derive
+            # the cap from the actual device
+            vmem_limit_bytes=_vmem_limit_bytes()),
         cost_estimate=pl.CostEstimate(
             flops=flops_step * (B // block_b),
             bytes_accessed=(2 * B * T * C * 2

@@ -84,3 +84,40 @@ def test_stack_matches_sequential_xla_layers():
     np.testing.assert_allclose(
         np.asarray(got)[valid], np.asarray(want)[valid],
         atol=8e-2, rtol=8e-2)
+
+
+def test_pick_block_b_device_aware_budgets(monkeypatch):
+    """Block picking fits the working-set estimate at any simulated VMEM
+    budget — no env var needed on small-VMEM parts (round-3 verdict #7)."""
+    monkeypatch.delenv('PPGS_TPU_BLOCK_B', raising=False)
+    monkeypatch.delenv('PPGS_TPU_VMEM_BUDGET_MB', raising=False)
+    B, T, C, F, L = 128, 512, 256, 2048, 5
+
+    def estimate(bb):
+        weights = L * (4 * C * C + 2 * C * F) * 2
+        hidden = min(elk.FFN_ROW_TILE, bb * T) * F * 6
+        acts = bb * T * C * 30 + bb * T * T * 6 + hidden
+        io = 2 * 2 * bb * T * C * 2
+        return weights + acts + io
+
+    picks = []
+    for budget_mb in (16, 32, 64, 128):
+        bb = elk._pick_block_b(B, T, C, F, L, budget=budget_mb << 20)
+        assert 1 <= bb <= elk.DEFAULT_BLOCK_B and B % bb == 0
+        # Either the estimate fits, or bb=1 is the irreducible floor
+        assert bb == 1 or estimate(bb) <= budget_mb << 20
+        picks.append(bb)
+    # Monotonic in budget; the 5-layer resident weights alone (~13 MB)
+    # exceed a 16 MB budget, so its floor pick is 1
+    assert picks == sorted(picks)
+    assert picks[0] == 1 and picks[-1] >= 4
+
+    # Device table: unknown device kinds (e.g. CPU here) fall back
+    assert elk._device_vmem_bytes() in {
+        mb * 1024 * 1024 for _, mb in elk._VMEM_MB} | {
+        elk._FALLBACK_VMEM_MB * 1024 * 1024}
+    # Budget = half physical; env var still overrides
+    assert elk._vmem_budget_bytes() == elk._device_vmem_bytes() // 2
+    monkeypatch.setenv('PPGS_TPU_VMEM_BUDGET_MB', '12')
+    assert elk._vmem_budget_bytes() == 12 << 20
+    assert elk._vmem_limit_bytes() == int(elk._device_vmem_bytes() * 0.8)
