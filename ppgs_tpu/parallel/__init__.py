@@ -92,8 +92,92 @@ def w2v2_param_sharding(mesh: Mesh, params, axis: str = 'model'):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def conformer_param_sharding(mesh: Mesh, params, axis: str = 'model'):
+    """NamedSharding pytree for the conformer (bottleneck frontend) params:
+    attention heads, FFN hidden, and conv-module channels shard over
+    ``axis``; norms and the small 2D-conv embed replicate.
+
+    Mesh sizes must divide the head count (4) so q/k/v column shards align
+    with head boundaries; GSPMD inserts the all-reduces after the
+    row-parallel out/w2/pointwise2 contractions.
+    """
+    def rule(path, leaf):
+        names = [str(getattr(p, 'key', getattr(p, 'idx', p)))
+                 for p in path]
+        joined = '.'.join(names)
+        if 'blocks' not in joined:
+            return NamedSharding(mesh, P())
+        # Relative-position MHA
+        if any(f'attn.{k}.weight' in joined for k in ('q', 'k', 'v', 'pos')):
+            return NamedSharding(mesh, P(None, axis))
+        if any(f'attn.{k}.bias' in joined for k in ('q', 'k', 'v')):
+            return NamedSharding(mesh, P(axis))
+        if 'attn.out.weight' in joined:
+            return NamedSharding(mesh, P(axis, None))
+        if 'pos_bias' in joined:                      # (heads, d_head)
+            return NamedSharding(mesh, P(axis, None))
+        # Macaron / final FFNs
+        if '.w1.weight' in joined:
+            return NamedSharding(mesh, P(None, axis))
+        if '.w1.bias' in joined:
+            return NamedSharding(mesh, P(axis))
+        if '.w2.weight' in joined:
+            return NamedSharding(mesh, P(axis, None))
+        # Conv module: channelwise over the model axis
+        if 'pointwise1.weight' in joined:             # (1, d, 2d)
+            return NamedSharding(mesh, P(None, None, axis))
+        if 'pointwise1.bias' in joined:
+            return NamedSharding(mesh, P(axis))
+        if 'depthwise.weight' in joined:              # (k, 1, d)
+            return NamedSharding(mesh, P(None, None, axis))
+        if 'depthwise.bias' in joined or 'batch_norm' in joined:
+            return NamedSharding(mesh, P(axis))
+        if 'pointwise2.weight' in joined:             # (1, d, d)
+            return NamedSharding(mesh, P(None, axis, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def shard_params(params, shardings):
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# (rule name, mesh shape, axis names, id(params)) -> placement or None
+_FRONTEND_TP_CACHE = {}
+
+
+def frontend_tp_placement(params, config, rule=None):
+    """TP placement for a jitted frontend (SURVEY §2.b item 3 end-to-end).
+
+    When ``config``'s mesh has a >1 'model' axis, returns
+    ``(sharded_params, input_sharding)``: params sharded by ``rule``
+    (default ``w2v2_param_sharding``) and the batch input sharding
+    ('data' axis when >1, else replicated). GSPMD inserts the TP
+    collectives from the shardings alone — the jitted pipeline is
+    unchanged. Returns None on a single device or when the config
+    requests no model axis. Placements are cached per (rule, mesh,
+    params identity): frontends hold their params in an lru_cache, so
+    the device_put runs once.
+    """
+    if 'model' not in config.mesh_axis_names or len(jax.devices()) < 2:
+        return None
+    if rule is None:
+        rule = w2v2_param_sharding
+    key = (rule.__name__, tuple(config.mesh_shape),
+           tuple(config.mesh_axis_names), id(params))
+    if key not in _FRONTEND_TP_CACHE:
+        mesh = make_mesh(
+            shape=config.mesh_shape, axis_names=config.mesh_axis_names)
+        if mesh.shape.get('model', 1) <= 1:
+            _FRONTEND_TP_CACHE[key] = None
+        else:
+            sharded = shard_params(params, rule(mesh, params))
+            in_sharding = (batch_sharding(mesh)
+                           if mesh.shape.get('data', 1) > 1
+                           else replicated(mesh))
+            _FRONTEND_TP_CACHE[key] = (sharded, in_sharding)
+    return _FRONTEND_TP_CACHE[key]
 
 
 def pad_batch_to_multiple(arrays, batch_axis_size: int, fill=0):

@@ -35,6 +35,16 @@ def _params():
     return load_mod.load_params(W2V2FB_CHECKPOINT)
 
 
+def _tp_placement(params, config):
+    """Tensor-parallel frontend placement: attention heads / FFN hidden /
+    conv output channels shard over a >1 'model' config-mesh axis
+    (parallel.frontend_tp_placement; SURVEY §2.b item 3)."""
+    from .. import parallel as parallel_mod
+
+    return parallel_mod.frontend_tp_placement(
+        params, config, rule=parallel_mod.w2v2_param_sharding)
+
+
 def nearest_upsample_indices(in_size: int, out_size: int):
     """torch F.interpolate(mode='nearest') index map: floor(i*in/out)."""
     return (np.arange(out_size) * in_size // out_size).astype(np.int32)
@@ -66,7 +76,12 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
         lengths = np.full((audio.shape[0],), audio.shape[-1])
     lengths = jnp.asarray(lengths)
     out_frames = audio.shape[-1] // config.hopsize
-    return _forward(_params(), audio, lengths, out_frames,
+    params = _params()
+    placement = _tp_placement(params, config)
+    if placement is not None:
+        params, in_sharding = placement
+        audio = jax.device_put(audio, in_sharding)
+    return _forward(params, audio, lengths, out_frames,
                     config.compute_dtype).astype(output_dtype)
 
 

@@ -140,3 +140,74 @@ def test_context_parallel_composes_with_data_parallel():
         batch_axis='data'))
 
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_w2v2fb_frontend_tensor_parallel(monkeypatch):
+    """TP reaches frontend INFERENCE end-to-end via config alone
+    (round-3 verdict #4): a >1 'model' axis on the config mesh shards the
+    frontend params inside preprocess.w2v2fb.from_audios itself."""
+    from ppgs_tpu.preprocess import w2v2fb
+
+    params = w2v2.init(jax.random.PRNGKey(3), TINY_W2V2)
+    monkeypatch.setattr(w2v2fb, '_params', lambda: params)
+    monkeypatch.setattr(w2v2, 'BASE', TINY_W2V2)
+
+    rng = np.random.default_rng(3)
+    audio = (0.1 * rng.standard_normal((4, 1, 4800))).astype(np.float32)
+    lengths = np.array([4800, 4800, 3200, 1600])
+
+    base = ppgs_tpu.Config(compute_dtype='float32')
+    ref = np.asarray(w2v2fb.from_audios(
+        jnp.asarray(audio), lengths,
+        config=base.replace(mesh_shape=(1,), mesh_axis_names=('data',))))
+
+    tp_config = base.replace(
+        mesh_shape=(1, 4), mesh_axis_names=('data', 'model'))
+    out = np.asarray(w2v2fb.from_audios(
+        jnp.asarray(audio), lengths, config=tp_config))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    # The cached placement really sharded the params over 'model'
+    sharded, _ = parallel.frontend_tp_placement(
+        params, tp_config, rule=parallel.w2v2_param_sharding)
+    spec = sharded['encoder']['layers'][0]['attn']['wq'].sharding.spec
+    assert 'model' in str(spec)
+
+    # DPxTP: data axis >1 shards the batch too, same numerics
+    dp_tp = base.replace(
+        mesh_shape=(2, 4), mesh_axis_names=('data', 'model'))
+    out2 = np.asarray(w2v2fb.from_audios(
+        jnp.asarray(audio), lengths, config=dp_tp))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_bottleneck_frontend_tensor_parallel(monkeypatch):
+    """Conformer frontend TP via config: conformer_param_sharding over a
+    4-way 'model' axis reproduces single-device numerics."""
+    from ppgs_tpu.models import conformer as conformer_mod
+    from ppgs_tpu.preprocess import bottleneck
+
+    tiny = conformer_mod.ConformerConfig(num_blocks=2)
+    params = conformer_mod.init(jax.random.PRNGKey(5), tiny)
+    monkeypatch.setattr(bottleneck, '_params', lambda: params)
+    monkeypatch.setattr(bottleneck.conformer, 'BOTTLENECK', tiny)
+
+    rng = np.random.default_rng(5)
+    audio = (0.1 * rng.standard_normal((2, 1, 4800))).astype(np.float32)
+    lengths = np.array([4800, 3200])
+
+    base = ppgs_tpu.Config(compute_dtype='float32')
+    ref = np.asarray(bottleneck.from_audios(
+        jnp.asarray(audio), lengths,
+        config=base.replace(mesh_shape=(1,), mesh_axis_names=('data',))))
+
+    tp_config = base.replace(
+        mesh_shape=(1, 4), mesh_axis_names=('data', 'model'))
+    out = np.asarray(bottleneck.from_audios(
+        jnp.asarray(audio), lengths, config=tp_config))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    sharded, _ = parallel.frontend_tp_placement(
+        params, tp_config, rule=parallel.conformer_param_sharding)
+    assert 'model' in str(
+        sharded['blocks'][0]['attn']['q']['weight'].sharding.spec)
