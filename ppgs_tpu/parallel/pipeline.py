@@ -35,11 +35,22 @@ Output drains from the LAST stage only: each stage returns its output
 buffer with a leading per-stage dim sharded over ``axis`` and the caller
 slices the last stage's shard — GSPMD lowers that to a one-hop broadcast
 of the real data instead of an O(output) ring all-reduce of a buffer that
-is (n-1)/n zeros. Remaining layout limitation: microbatched activations
-still ENTER replicated over the pipe axis (every stage holds the full
-input), so PP here shards parameters and compute but not ingest activation
-memory; at this model's scale (d=256) that is noise — revisit (ring-forward
-stage-0 ingest) before scaling to models where activations dominate.
+is (n-1)/n zeros.
+
+Ingest is likewise sharded: microbatches are distributed round-robin over
+the stages (stage s owns microbatch indices ≡ s mod n) and ride a REVERSE
+ring toward stage 0 on a one-slot feed register. All stages inject their
+next-owned microbatch every n ticks; an item injected on stage s needs
+exactly s reverse hops and arrives at stage 0 precisely at its scheduled
+ingest tick, so per-stage ingest activation memory is M/n microbatches +
+one in-flight slot instead of the full (M, mb, T, C) input. Only the
+boolean length masks stay replicated (1/C'th of the activation bytes).
+
+Composes with tensor parallelism: pass ``tp_axis`` (a >1 mesh axis) and
+the per-layer attention/FFN weights shard over it inside the staged
+region — the pipe schedule stays manual (ppermute ring) while GSPMD
+auto-partitions each stage's matmuls over ``tp_axis`` from the parameter
+shardings (TP×PP on one 2D mesh).
 
 The input/output convolutions and positional encoding run outside the
 staged region (they are a few percent of FLOPs and need the full batch),
@@ -72,6 +83,7 @@ def pipeline_forward(
     mesh: Mesh,
     axis: str = 'pipe',
     batch_axis: str = None,
+    tp_axis: str = None,
     num_microbatches: int = None,
     train: bool = False,
     rng=None,
@@ -79,11 +91,13 @@ def pipeline_forward(
     """Transformer forward with encoder layers pipelined over ``axis``.
 
     features: (B, C_in, T) with T <= config.max_len. ``num_hidden_layers``
-    must divide evenly into ``mesh.shape[axis]`` stages and B into
-    ``num_microbatches`` (default: one microbatch per stage). Matches
-    ``models.transformer.forward`` numerics on the XLA inference path;
-    ``train=True, rng=...`` enables the same dropout sites (fold_in-derived
-    streams — see module docstring).
+    must divide evenly into ``mesh.shape[axis]`` stages, B into
+    ``num_microbatches`` (default: one microbatch per stage), and the
+    microbatch count into the stage count (round-robin feed-ring ingest).
+    Matches ``models.transformer.forward`` numerics on the XLA inference
+    path; ``train=True, rng=...`` enables the same dropout sites
+    (fold_in-derived streams — see module docstring). ``tp_axis`` shards
+    each stage's attention/FFN weights over a second mesh axis (TP×PP).
     """
     n = mesh.shape[axis]
     layers = params['layers']
@@ -95,6 +109,10 @@ def pipeline_forward(
     M = num_microbatches or n
     if B % M:
         raise ValueError(f'batch {B} must divide into {M} microbatches')
+    if M % n:
+        raise ValueError(
+            f'microbatches {M} must divide into {n} pipeline stages '
+            f'(round-robin stage ingest)')
     if batch_axis is not None and (B // M) % mesh.shape[batch_axis]:
         raise ValueError(
             f'microbatch size {B // M} must divide over '
@@ -128,20 +146,37 @@ def pipeline_forward(
             jax.random.key_data(jax.random.key(0)).shape, jnp.uint32)
         key_impl = None
 
-    # Microbatch split: (M, B/M, T, C)
-    xm = x.reshape(M, B // M, T, x.shape[-1])
+    # Microbatch split, round-robin over stages: (M/n, n, B/M, T, C) —
+    # element (k, s) is microbatch k*n + s, owned by stage s (dim 1 shards
+    # over the pipe axis: stage-local ingest, no replicated input)
+    xm = x.reshape(M // n, n, B // M, T, x.shape[-1])
     maskm = mask.reshape(M, B // M, T)
     stacked = stack_layer_params(layers)
 
+    tp = tp_axis is not None and mesh.shape.get(tp_axis, 1) > 1
+    if tp:
+        # TP×PP: place the stacked per-layer weights sharded over tp_axis
+        # (Megatron column/row split) in addition to the pipe-axis layer
+        # split; tp_axis stays in GSPMD auto mode inside the staged region
+        # (manual_axes excludes it), so each stage's matmuls partition over
+        # it automatically. check_rep must be True here: jax 0.9's
+        # check_vma=False path internally builds a spec over ALL mesh axes
+        # and rejects partial manual_axes.
+        stacked = _place_stacked_tp(stacked, mesh, axis, tp_axis)
+        manual = {axis} | ({batch_axis} if batch_axis else set())
+    else:
+        manual = None
     body = functools.partial(
         _stage_body, axis=axis, n=n, m=M, heads=config.attention_heads,
         causal=config.is_causal, compute_dtype=compute_dtype,
-        dropout=dropout, key_impl=key_impl)
+        dropout=dropout, key_impl=key_impl, vma=tp)
     out = shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(None, batch_axis), P(None, batch_axis), P()),
+        in_specs=(P(axis), P(None, axis, batch_axis),
+                  P(None, batch_axis), P()),
         out_specs=P(axis, None, batch_axis),
-        check_rep=False)(stacked, xm, maskm, key_data)
+        check_rep=tp, manual_axes=manual)(
+            stacked, xm, maskm, key_data)
     # Drain: only the last stage's buffer holds results; slicing its shard
     # lowers to a one-hop broadcast from the last pipeline stage.
     x = out[n - 1].reshape(B, T, -1)
@@ -160,15 +195,44 @@ def _as_typed_key(rng):
     return jax.random.wrap_key_data(jnp.asarray(rng, jnp.uint32))
 
 
-def _stage_body(stacked, x_mb, mask_mb, key_data, *, axis, n, m, heads,
-                causal, compute_dtype, dropout, key_impl):
+def _place_stacked_tp(stacked, mesh, axis, tp):
+    """Place stacked per-layer params with Megatron TP shardings over
+    ``tp`` in addition to the layer split over ``axis``: q/k/v and ffn.w1
+    column-split, wo and ffn.w2 row-split, everything else replicated."""
+    from jax.sharding import NamedSharding
+
+    def rule(path, leaf):
+        joined = '.'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                          for p in path)
+        if (any(k in joined for k in ('wq', 'wk', 'wv'))
+                or joined.endswith('.w1')):
+            spec = P(axis, None, tp)
+        elif (any(k in joined for k in ('bq', 'bk', 'bv'))
+                or joined.endswith('.b1')):
+            spec = P(axis, tp)
+        elif 'wo' in joined or joined.endswith('.w2'):
+            spec = P(axis, tp, None)
+        else:
+            spec = P(axis) if leaf.ndim else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(rule, stacked)
+
+
+def _stage_body(stacked, x_loc, mask_mb, key_data, *, axis, n, m, heads,
+                causal, compute_dtype, dropout, key_impl, vma=False):
     """Per-stage GPipe schedule. ``stacked`` is this stage's local
-    (layers_per_stage, ...) slice; ``x_mb``/``mask_mb`` are the full
-    (M, mb, T, C)/(M, mb, T) microbatch arrays (replicated over ``axis``);
-    ``key_data`` (+ static ``key_impl``) seeds per-(layer, microbatch)
-    dropout streams."""
+    (layers_per_stage, ...) slice; ``x_loc`` is the stage-LOCAL
+    (M/n, 1, mb, T, C) slice of round-robin-owned microbatches (stage s
+    owns indices ≡ s mod n) that feed stage 0 over a reverse ring;
+    ``mask_mb`` is the full (M, mb, T) boolean mask (replicated — 1/C'th
+    of the activation bytes); ``key_data`` (+ static ``key_impl``) seeds
+    per-(layer, microbatch) dropout streams."""
     stage = jax.lax.axis_index(axis)
     ring = [(i, (i + 1) % n) for i in range(n)]
+    reverse_ring = [(i, (i - 1) % n) for i in range(n)]
+    x_loc = x_loc[:, 0]                       # (M/n, mb, T, C)
+    k_owned = x_loc.shape[0]
     layers_per_stage = jax.tree.leaves(stacked)[0].shape[0]
     base_rng = (jax.random.wrap_key_data(key_data, impl=key_impl)
                 if key_impl is not None
@@ -197,22 +261,42 @@ def _stage_body(stacked, x_mb, mask_mb, key_data, *, axis, n, m, heads,
         return x
 
     def tick(carry, t):
-        state, out_buf = carry
-        # Stage 0 ingests microbatch t; later stages use the incoming ring
-        # activation. Bubble ticks (mb out of range) compute on stale data
+        state, feed, out_buf = carry
+        # Feed ring: every n ticks each stage loads its next owned
+        # microbatch (index t + stage, needing exactly `stage` reverse
+        # hops) into the one-slot feed register; between injections the
+        # register shifts one hop toward stage 0 per tick, so microbatch
+        # t sits in stage 0's register precisely at tick t. Ticks past M
+        # inject stale data that is never written (mask below).
+        inject = (t % n) == 0
+        feed = jnp.where(
+            inject, x_loc[jnp.clip(t // n, 0, k_owned - 1)], feed)
+        # Stage 0 ingests from its feed register; later stages use the
+        # incoming ring activation. Bubble ticks compute on stale data
         # and are masked at the write below.
-        ingest = jnp.clip(t, 0, m - 1)
-        inp = jnp.where(stage == 0, x_mb[ingest], state)
+        inp = jnp.where(stage == 0, feed, state)
         mb = t - stage                      # microbatch this stage holds now
         mbc = jnp.clip(mb, 0, m - 1)
         y = apply_local_layers(inp, mask_mb[mbc], mbc)
         write = (mb >= 0) & (mb < m) & (stage == n - 1)
         out_buf = out_buf.at[mbc].set(jnp.where(write, y, out_buf[mbc]))
         state = jax.lax.ppermute(y, axis, ring)
-        return (state, out_buf), None
+        feed = jax.lax.ppermute(feed, axis, reverse_ring)
+        return (state, feed, out_buf), None
 
-    init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
-    (_, out_buf), _ = jax.lax.scan(tick, init, jnp.arange(m + n - 1))
+    init = (jnp.zeros_like(x_loc[0]), jnp.zeros_like(x_loc[0]),
+            jnp.zeros((m,) + x_loc.shape[1:], x_loc.dtype))
+    if vma:
+        # Under check_vma (TP×PP path) the scan carry must be typed as
+        # varying over the manual pipe axis: its values are stage-dependent
+        def ensure_varying(a):
+            current = getattr(jax.typeof(a), 'vma', frozenset())
+            if axis in current:
+                return a
+            return jax.lax.pcast(a, (axis,), to='varying')
+
+        init = jax.tree.map(ensure_varying, init)
+    (_, _, out_buf), _ = jax.lax.scan(tick, init, jnp.arange(m + n - 1))
     # Per-stage buffer with a leading stage dim; only the last stage's
     # entry holds results, and the caller slices exactly that shard.
     return out_buf[None]

@@ -174,3 +174,41 @@ def test_pipeline_train_mode_rbg_key():
     inference = parallel.pipeline_forward(
         params, feats, lengths, CONFIG, mesh)
     assert not np.allclose(np.asarray(out), np.asarray(inference))
+
+
+def test_pipeline_composes_with_tensor_parallel():
+    """TP×PP on one 2D mesh: pipe stages manual (ppermute schedule), the
+    'model' axis in GSPMD auto mode sharding each stage's matmuls from
+    the Megatron param placements (round-3 verdict #6 / advisor item)."""
+    params = transformer.init(jax.random.PRNGKey(8), CONFIG)
+    feats, lengths = _inputs(jax.random.PRNGKey(9))
+    expected = transformer.forward(params, feats, lengths, CONFIG)
+
+    mesh = parallel.make_mesh(
+        shape=(2, 4), axis_names=('pipe', 'model'))
+    got = parallel.pipeline_forward(
+        params, feats, lengths, CONFIG, mesh, axis='pipe',
+        tp_axis='model')
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_ingest_sharded_over_stages():
+    """The microbatched input enters stage-local (round-robin over the
+    pipe axis), not replicated: stage s holds M/n microbatches."""
+    import re
+
+    params = transformer.init(jax.random.PRNGKey(10), CONFIG)
+    feats, lengths = _inputs(jax.random.PRNGKey(11))
+    mesh = parallel.make_mesh(
+        devices=jax.devices()[:4], shape=(4,), axis_names=('pipe',))
+    lowered = jax.jit(
+        lambda p, f, l: parallel.pipeline_forward(
+            p, f, l, CONFIG, mesh, axis='pipe')).lower(
+        params, feats, lengths)
+    text = lowered.as_text().replace(' ', '')
+    # The (M/n, n, mb, T, C) ingest operand of the manual computation must
+    # enter sharded over the pipe axis on its stage dim (dim 1) — a
+    # replicated ingest (the pre-round-4 layout) would show [{},{},...]
+    assert '[{},{"pipe"},{},{},{}]' in text, (
+        'stage-sharded ingest sharding not found in lowered HLO')
