@@ -193,6 +193,26 @@ def shard_iterator(iterable):
             yield item
 
 
+def any_process(flag: bool) -> bool:
+    """Logical OR of a host-side boolean across all processes (one tiny
+    allgather; False-only fast path has the same cost — the collective
+    must run on every process every time or they deadlock).
+
+    Used to coordinate interrupt-driven stops: a SIGTERM lands on each
+    host at a slightly different moment, but collective checkpointing
+    (orbax multi-process save) requires every process to stop at the SAME
+    step. Each process polls its local signal flag through this OR once
+    per step and all break together at the next step boundary.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray([bool(flag)]))
+    return bool(np.any(gathered))
+
+
 def is_primary() -> bool:
     """True on the process that owns host-side side effects (checkpoint
     writes, metric logs)."""

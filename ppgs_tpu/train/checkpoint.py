@@ -90,6 +90,11 @@ def orbax_save(directory, step, epoch, state):
     import orbax.checkpoint as ocp
 
     manager = _manager(directory)
+    if step in (manager.all_steps() or ()):
+        # Already saved (e.g. an interrupt landing right after a periodic
+        # save); saving a duplicate step would raise. Collective callers
+        # all skip together — all_steps() reads the shared directory.
+        return Path(directory) / str(step)
     manager.save(
         step,
         args=ocp.args.Composite(

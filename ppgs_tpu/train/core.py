@@ -333,18 +333,17 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
                      if config.class_balanced else None)
     step_fn = make_train_step(config, optimizer, class_weights, mesh)
 
-    # Maybe resume
+    # Maybe resume. Orbax checkpointing is COLLECTIVE on multi-host runs:
+    # every process calls save() (async multi-process save — each host
+    # writes its addressable shards, all join the commit barrier), so
+    # checkpoint sites below run on all processes for orbax and
+    # primary-only for the single-writer npz backend.
     backend = config.checkpoint_backend
-    if backend == 'orbax' and jax.process_count() > 1:
-        # Orbax async saves synchronize across processes; our checkpoint
-        # writes are primary-only (state is replicated), which would
-        # deadlock its barrier. Replicated-state multi-host runs use the
-        # single-writer npz backend instead.
-        import warnings
+    ckpt_collective = backend == 'orbax' and jax.process_count() > 1
 
-        warnings.warn('orbax checkpointing is single-process here; '
-                      'multi-host run falls back to the npz backend')
-        backend = 'npz'
+    def should_write_checkpoint():
+        return ckpt_collective or multihost.is_primary()
+
     ckpt = latest_checkpoint(directory, backend)
     if ckpt is not None:
         params, opt_state, step, epoch = load_checkpoint(
@@ -375,11 +374,22 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
 
     # Preemption safety: TPU maintenance events deliver SIGTERM; route it
     # through the same save-on-interrupt path as Ctrl-C (the reference
-    # handles only KeyboardInterrupt, ppgs/train/core.py:257-266)
+    # handles only KeyboardInterrupt, ppgs/train/core.py:257-266).
+    # Multi-process runs must NOT raise asynchronously: the signal lands
+    # on each host at a different moment, and the collective checkpoint
+    # needs every process at the same step — so the handler only sets a
+    # flag, and the loop agrees on the stop via one cross-process OR per
+    # step (multihost.any_process).
     import signal
 
+    stop_requested = [False]
+    coordinated_stop = jax.process_count() > 1
+
     def _preempted(signum, frame):
-        raise KeyboardInterrupt(f'signal {signum}')
+        if coordinated_stop:
+            stop_requested[0] = True
+        else:
+            raise KeyboardInterrupt(f'signal {signum}')
 
     try:
         previous_handler = signal.signal(signal.SIGTERM, _preempted)
@@ -420,11 +430,14 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
                         if step < steps else None)
 
                 if (step and step % config.checkpoint_interval == 0
-                        and multihost.is_primary()):
+                        and should_write_checkpoint()):
                     checkpoint_state(directory, step, epoch, params,
                                      opt_state, backend)
 
                 step += 1
+                if coordinated_stop and multihost.any_process(
+                        stop_requested[0]):
+                    raise KeyboardInterrupt('coordinated multi-host stop')
                 if step >= steps:
                     break
             epoch += 1
@@ -433,7 +446,7 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
     finally:
         if previous_handler is not None:
             signal.signal(signal.SIGTERM, previous_handler)
-        if multihost.is_primary():
+        if should_write_checkpoint():
             checkpoint_state(directory, step, epoch, params, opt_state,
                              backend)
             if backend == 'orbax':

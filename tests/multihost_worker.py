@@ -89,9 +89,74 @@ def metrics_aggregation_check():
             if isinstance(v, (int, float))}
 
 
+def run_orbax(directory, max_steps, loader=None):
+    """Train with the orbax backend (collective multi-process saves);
+    returns flattened final params."""
+    from ppgs_tpu import load as load_mod
+    from ppgs_tpu.train import core as train_core
+
+    config = make_config().replace(
+        checkpoint_backend='orbax', checkpoint_interval=2)
+    params = train_core.train(
+        'synthetic', directory=directory, config=config,
+        max_steps=max_steps, loader_fn=loader or loader_fn)
+    return load_mod.flatten_params(jax.device_get(params))
+
+
+def endless_loader(partition):
+    """Deterministic infinite batch stream; drops a readiness marker once
+    the second batch is requested (first train step completed — signal
+    handlers installed, safe to SIGTERM)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    marker = os.environ.get('PPGS_MH_READY')
+    i = 0
+    while True:
+        if i == 1 and marker:
+            Path(marker).touch()
+        B, T = 4, 64
+        feats = rng.standard_normal((B, 80, T)).astype('f4')
+        targets = rng.integers(0, 40, size=(B, T)).astype(np.int64)
+        lengths = np.full((B,), T, dtype=np.int64)
+        time.sleep(0.05)
+        i += 1
+        yield feats, targets, lengths
+
+
 def main():
     out = Path(os.environ['PPGS_MH_OUT'])
     directory = os.environ['PPGS_MH_DIR']
+    mode = os.environ.get('PPGS_MH_MODE', 'default')
+
+    if mode == 'orbax_phase_a':
+        # Train 3 steps, periodic orbax save at step 2, collective final
+        # save at step 3, then DIE (the parent relaunches a fresh pair
+        # for phase B — a true kill/resume across process generations)
+        run_orbax(directory, 3)
+        with open(out, 'w') as file:
+            json.dump({'process_count': jax.process_count()}, file)
+        return
+    if mode == 'orbax_phase_b':
+        # Fresh processes resume from phase A's checkpoint -> 6 steps
+        flat = run_orbax(directory, 6)
+        np.savez(out.with_suffix('.npz'), **flat)
+        with open(out, 'w') as file:
+            json.dump({'process_count': jax.process_count()}, file)
+        return
+    if mode == 'orbax_interrupt':
+        # Endless run; the parent SIGTERMs both processes mid-training.
+        # The coordinated stop (multihost.any_process) must bring both to
+        # the same step and the collective orbax save must land.
+        from ppgs_tpu.train import core as train_core
+
+        run_orbax(directory, 10 ** 9, loader=endless_loader)
+        latest = train_core.latest_checkpoint(directory, 'orbax')
+        with open(out, 'w') as file:
+            json.dump({'process_count': jax.process_count(),
+                       'latest_step': None if latest is None
+                       else int(Path(latest).name)}, file)
+        return
 
     flat, scalars = run(directory)
     agg = metrics_aggregation_check()

@@ -154,3 +154,102 @@ def test_hybrid_mesh_single_process():
     mesh2d = multihost.make_hybrid_mesh((-1, 2), ('data', 'model'))
     assert mesh2d.shape['model'] == 2
     assert mesh2d.shape['data'] == len(jax.devices()) // 2
+
+
+def _launch_pair(tmp_path, mode, run_dir, ready=None):
+    """Launch a fresh 2-process jax.distributed pair in the given mode."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env['PYTHONPATH'] = str(Path(__file__).parents[1])
+        env['PPGS_COORDINATOR'] = f'localhost:{port}'
+        env['PPGS_NUM_PROCESSES'] = '2'
+        env['PPGS_PROCESS_ID'] = str(pid)
+        env['PPGS_MH_OUT'] = str(tmp_path / f'{mode}_result{pid}.json')
+        env['PPGS_MH_DIR'] = str(run_dir)
+        env['PPGS_MH_MODE'] = mode
+        if ready is not None:
+            env['PPGS_MH_READY'] = str(ready) + f'.{pid}'
+        procs.append(subprocess.Popen(
+            [sys.executable, str(WORKER)], env=env,
+            cwd=str(Path(__file__).parents[1]),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    return procs
+
+
+def _wait_pair(procs, timeout=600):
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outputs.append(out.decode(errors='replace'))
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f'worker failed (rc={p.returncode}):\n{out}'
+    return outputs
+
+
+def test_multihost_orbax_checkpoint_kill_resume(tmp_path):
+    """Round-3 verdict #5: orbax multi-process async saves (all processes
+    join the barrier). Phase A trains 3 steps (periodic save at 2,
+    collective final save at 3) and its processes DIE; a fresh phase-B
+    pair resumes from the orbax checkpoint to step 6 and must match an
+    uninterrupted single-process 6-step run."""
+    run_dir = tmp_path / 'orbax_run'
+    _wait_pair(_launch_pair(tmp_path, 'orbax_phase_a', run_dir))
+    assert (run_dir / '2').exists() and (run_dir / '3').exists()
+
+    _wait_pair(_launch_pair(tmp_path, 'orbax_phase_b', run_dir))
+    flat_b = dict(np.load(tmp_path / 'orbax_phase_b_result0.npz'))
+
+    # Uninterrupted single-process reference (6 steps, fresh directory)
+    sys.path.insert(0, str(WORKER.parent))
+    try:
+        import multihost_worker
+    finally:
+        sys.path.pop(0)
+    flat_ref = multihost_worker.run_orbax(str(tmp_path / 'single6'), 6)
+
+    assert set(flat_b) == set(flat_ref)
+    for key in flat_ref:
+        np.testing.assert_allclose(
+            flat_b[key], np.asarray(flat_ref[key]),
+            rtol=5e-3, atol=3e-5, err_msg=key)
+
+
+def test_multihost_orbax_interrupt_coordinated_save(tmp_path):
+    """SIGTERM lands on both processes mid-run at different moments; the
+    per-step cross-process OR (multihost.any_process) must bring both to
+    the same step so the collective interrupt save completes cleanly."""
+    import signal
+    import time
+
+    run_dir = tmp_path / 'interrupt_run'
+    ready = tmp_path / 'ready'
+    procs = _launch_pair(tmp_path, 'orbax_interrupt', run_dir, ready=ready)
+
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if all((tmp_path / f'ready.{pid}').exists() for pid in range(2)):
+            break
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.5)
+    else:
+        for p in procs:
+            p.kill()
+        raise AssertionError('workers never reached readiness')
+
+    time.sleep(0.3)               # land the signals at distinct steps
+    procs[0].send_signal(signal.SIGTERM)
+    time.sleep(0.2)
+    procs[1].send_signal(signal.SIGTERM)
+
+    _wait_pair(procs, timeout=300)
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f'orbax_interrupt_result{pid}.json') as file:
+            results.append(json.load(file))
+    steps = {r['latest_step'] for r in results}
+    assert len(steps) == 1 and None not in steps
+    assert (run_dir / str(results[0]['latest_step'])).exists()
