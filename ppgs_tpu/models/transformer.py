@@ -178,7 +178,7 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
     k = (xc @ p['wk'].astype(compute_dtype)) + p['bk'].astype(compute_dtype)
     v = (xc @ p['wv'].astype(compute_dtype)) + p['bv'].astype(compute_dtype)
 
-    # Pallas fused-attention fast path (inference, non-causal, TPU): runs
+    # Pallas fused-attention fast path (non-causal, TPU, bf16): runs
     # directly on the (B, T, C) layout — no head transposes materialize.
     # Only on the bf16 compute path: fp32 configs keep XLA's precise
     # attention for strict reference parity.
@@ -195,6 +195,31 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
         else:
             qp, kp, vp, maskp = q, k, v, key_mask
         out = fa.flash_attention(qp, kp, vp, maskp, heads)[:, :T]
+        out = (out.astype(compute_dtype) @ p['wo'].astype(compute_dtype)
+               + p['bo'].astype(compute_dtype))
+        return out.astype(x.dtype)
+
+    # Train-mode Pallas path (custom_vjp, in-kernel attention dropout):
+    # the forward saves (o, lse) and the backward recomputes the scores in
+    # VMEM, so the (B, H, T, T) chain — the train step's HBM hot spot —
+    # never materializes in either direction. The dropout stream is the
+    # TPU hardware PRNG, deterministic per (rng, batch, head); it differs
+    # from the XLA path's jax.random stream (both are valid dropout).
+    if (dropout_rng is not None and not causal and T <= 1024
+            and compute_dtype == jnp.bfloat16 and _use_flash(d_head)):
+        from ..ops import flash_attention as fa
+
+        pad_t = -(-T // 8) * 8
+        if pad_t != T:
+            widths = ((0, 0), (0, pad_t - T), (0, 0))
+            qp, kp, vp = (jnp.pad(a, widths) for a in (q, k, v))
+            maskp = jnp.pad(key_mask, ((0, 0), (0, pad_t - T)))
+        else:
+            qp, kp, vp, maskp = q, k, v, key_mask
+        seed = jax.random.key_data(dropout_rng).ravel()[0].astype(jnp.int32)
+        out = fa.flash_attention_train(
+            qp, kp, vp, maskp, heads, dropout_rate=float(dropout),
+            seed=seed)[:, :T]
         out = (out.astype(compute_dtype) @ p['wo'].astype(compute_dtype)
                + p['bo'].astype(compute_dtype))
         return out.astype(x.dtype)

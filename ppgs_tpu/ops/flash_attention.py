@@ -227,3 +227,223 @@ def flash_attention(q, k, v, mask, num_heads,
 def supported():
     """Whether the Pallas kernel can run on the current default backend."""
     return jax.default_backend() == 'tpu'
+
+
+###############################################################################
+# Differentiable fused attention (training path)
+###############################################################################
+#
+# Standard flash recipe: the forward saves (o, lse) per query row; the
+# backward recomputes the probabilities in VMEM from (q, k, lse) and forms
+# dq/dk/dv with five MXU dots per (batch, head) program — the (T, T)
+# probability/score tensors never touch HBM in either direction, which is
+# exactly the train step's HBM hot spot (models/transformer.py).
+# Attention-probability dropout (reference: torch TransformerEncoderLayer
+# p=0.1, trained under autocast) runs INSIDE the kernel with the TPU PRNG;
+# the backward reseeds the identical (batch, head) stream, so the mask
+# never materializes in HBM either.
+
+
+def _dropout_keep(shape, rate, seed, b, h, interpret):
+    """Deterministic per-(batch, head) keep-mask.
+
+    Compiled TPU path: hardware PRNG (pltpu.prng_*), seeded per program.
+    Interpret mode (CPU tests): threefry fallback — prng_seed has no CPU
+    lowering. Both are deterministic per (seed, b, h); forward and
+    backward regenerate the identical mask."""
+    if interpret:
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), b), h)
+        return jax.random.uniform(key, shape) < (1.0 - rate)
+    pltpu.prng_seed(seed, b, h)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(round((1.0 - rate) * float(2 ** 32 - 1)))
+    return pltpu.bitcast(bits, jnp.uint32) <= threshold
+
+
+def _train_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref,
+                      o_ref, lse_ref, *, sm_scale, rate, heads,
+                      interpret):
+    b, h = pl.program_id(0), pl.program_id(1)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    mask = mask_ref[0, 0, :] > 0                         # (T,)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    logits = jnp.where(mask[None, :], logits, NEG_INF)
+    row_max = jnp.maximum(logits.max(axis=-1, keepdims=True), -1e29)
+    p = jnp.exp(logits - row_max)
+    p = jnp.where(mask[None, :], p, 0.0)
+    denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+    lse_ref[0, 0] = (row_max + jnp.log(denom))[:, 0]
+    pn = p / denom
+    if rate > 0.0:
+        keep = _dropout_keep(pn.shape, rate, seed_ref[0], b, h, interpret)
+        pn = jnp.where(keep, pn * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[0] = jax.lax.dot_general(
+        pn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _train_bwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
+                      lse_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, sm_scale, rate, heads, interpret):
+    b, h = pl.program_id(0), pl.program_id(1)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    o, do = o_ref[0], do_ref[0]
+    lse = lse_ref[0, 0][:, None]                         # (T, 1) fp32
+    mask = mask_ref[0, 0, :] > 0
+
+    # Recompute normalized probabilities from the saved statistics
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    pn = jnp.exp(logits - lse)
+    pn = jnp.where(mask[None, :], pn, 0.0)               # (T, T) fp32
+
+    if rate > 0.0:
+        # Same (seed, b, h) stream as the forward
+        keep = _dropout_keep(pn.shape, rate, seed_ref[0], b, h, interpret)
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, pn * inv, 0.0)              # dropped+scaled
+    else:
+        pd = pn
+
+    # D_i = sum_j dO_ij O_ij  ==  rowsum(g * pd)  (flash-backward identity)
+    d_row = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(
+        axis=-1, keepdims=True)
+    g = jax.lax.dot_general(                              # dL/d pd
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        g = jnp.where(keep, g * inv, 0.0)                # dL/d pn
+    ds = pn * (g - d_row)                                # dL/d logits (fp32)
+
+    dsc = (ds * sm_scale).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsc, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        dsc, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _head_specs(T, D):
+    # Index maps receive the scalar-prefetch ref after the grid ids
+    def idx(b, h, *_):
+        return (b, 0, h)
+    return pl.BlockSpec((1, T, D), idx, memory_space=pltpu.VMEM)
+
+
+def flash_attention_train(q, k, v, mask, num_heads, dropout_rate=0.0,
+                          seed=None, interpret=False):
+    """Differentiable masked multi-head attention with in-kernel
+    attention-probability dropout.
+
+    Same (B, T, C) channels-packed layout and zero-rows-for-masked-queries
+    convention as :func:`flash_attention`; requires d_head >= 128 (the PPG
+    encoder's geometry) and T <= MAX (whole sequence in VMEM). ``seed``:
+    int32 scalar array deriving the per-(batch, head) dropout streams
+    (ignored at rate 0). The backward recomputes probabilities from saved
+    (o, lse) and reseeds the identical dropout stream — no (B, H, T, T)
+    tensor ever reaches HBM in either pass.
+    """
+    seed_i = (jnp.zeros((1,), jnp.int32) if seed is None
+              else jnp.asarray(seed, jnp.int32).reshape(1))
+    return _flash_train(q, k, v, mask, seed_i, num_heads,
+                        float(dropout_rate), interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_train(q, k, v, mask, seed_i, num_heads, dropout_rate,
+                 interpret):
+    out, _ = _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate,
+                        interpret)
+    return out
+
+
+def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
+    B, T, C = q.shape
+    D = C // num_heads
+    assert D % 128 == 0 and T % 8 == 0, (D, T)
+    sm_scale = 1.0 / math.sqrt(D)
+    mask_i = mask.astype(jnp.int32)[:, None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, num_heads),
+        in_specs=[
+            pl.BlockSpec((1, 1, T), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _head_specs(T, D), _head_specs(T, D), _head_specs(T, D),
+        ],
+        out_specs=[
+            _head_specs(T, D),
+            pl.BlockSpec((1, 1, T), lambda b, h, *_: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_train_fwd_kernel, sm_scale=sm_scale,
+                          rate=float(dropout_rate), heads=num_heads,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), q.dtype),
+            jax.ShapeDtypeStruct((B, num_heads, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_i, mask_i, q, k, v)
+    return o, (q, k, v, mask_i, seed_i, o, lse)
+
+
+def _train_fwd_rule(q, k, v, mask, seed_i, num_heads, dropout_rate,
+                    interpret):
+    return _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate,
+                      interpret)
+
+
+def _train_bwd_rule(num_heads, dropout_rate, interpret, residuals, do):
+    q, k, v, mask_i, seed_i, o, lse = residuals
+    B, T, C = q.shape
+    D = C // num_heads
+    sm_scale = 1.0 / math.sqrt(D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, num_heads),
+        in_specs=[
+            pl.BlockSpec((1, 1, T), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _head_specs(T, D), _head_specs(T, D), _head_specs(T, D),
+            _head_specs(T, D),
+            pl.BlockSpec((1, 1, T), lambda b, h, *_: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            _head_specs(T, D),
+        ],
+        out_specs=[_head_specs(T, D)] * 3,
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_train_bwd_kernel, sm_scale=sm_scale,
+                          rate=float(dropout_rate), heads=num_heads,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, T, C), q.dtype)] * 3,
+        interpret=interpret,
+    )(seed_i, mask_i, q, k, v, o, lse, do)
+
+    # Cotangents for (q, k, v, mask, seed_i): mask/seed are integer-typed
+    # primals, whose tangent type is float0
+    import numpy as np
+
+    B_, _, T_ = mask_i.shape
+    return (dq, dk, dv,
+            np.zeros((B_, T_), dtype=jax.dtypes.float0),
+            np.zeros((1,), dtype=jax.dtypes.float0))
+
+
+_flash_train.defvjp(_train_fwd_rule, _train_bwd_rule)

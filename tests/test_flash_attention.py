@@ -79,3 +79,173 @@ def test_flash_packed_small_heads_matches_reference(D, H):
     out = out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     ref = reference_attention(q, k, v, mask)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_train_forward_matches_inference_kernel():
+    """rate=0 training kernel == the inference fused kernel."""
+    from ppgs_tpu.ops.flash_attention import flash_attention_train
+
+    rng = np.random.default_rng(3)
+    B, T, H, D = 2, 128, 2, 128
+    q, k, v = (jnp.asarray(
+        rng.standard_normal((B, T, H * D)).astype(np.float32))
+        for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[1, 90:] = False
+
+    ref = np.asarray(flash_attention(
+        q, k, v, jnp.asarray(mask), num_heads=H, interpret=True))
+    out = np.asarray(flash_attention_train(
+        q, k, v, jnp.asarray(mask), num_heads=H, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_flash_train_gradient_parity_vs_xla():
+    """custom_vjp backward (recompute-style flash) == jax autodiff through
+    the XLA formulation (round-3 verdict #3)."""
+    import jax
+
+    from ppgs_tpu.ops.flash_attention import flash_attention_train
+
+    rng = np.random.default_rng(4)
+    B, T, H, D = 2, 64, 2, 128
+    q, k, v = (rng.standard_normal((B, T, H * D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[0, 50:] = False
+    cot = rng.standard_normal((B, T, H * D)).astype(np.float32)
+
+    def xla_attention(q, k, v):
+        q4 = q.reshape(B, T, H, D)
+        k4 = k.reshape(B, T, H, D)
+        v4 = v.reshape(B, T, H, D)
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q4, k4) / math.sqrt(D)
+        logits = jnp.where(jnp.asarray(mask)[:, None, None, :],
+                           logits, -1e30)
+        row_max = jnp.maximum(
+            logits.max(axis=-1, keepdims=True), -1e29)
+        p = jnp.exp(logits - row_max)
+        p = jnp.where(jnp.asarray(mask)[:, None, None, :], p, 0.0)
+        denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+        out = jnp.einsum('bhqk,bkhd->bqhd', p / denom, v4)
+        return out.reshape(B, T, H * D)
+
+    def kernel_loss(q, k, v):
+        out = flash_attention_train(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), num_heads=H, interpret=True)
+        return (out * cot).sum()
+
+    def xla_loss(q, k, v):
+        return (xla_attention(q, k, v) * cot).sum()
+
+    got = jax.grad(kernel_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(xla_loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for g, w, name in zip(got, want, 'qkv'):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5,
+            err_msg=name)
+
+
+def test_flash_train_dropout_structure():
+    """In-kernel dropout: ~rate of the attention mass dropped, identical
+    stream between forward calls (same seed), different across seeds, and
+    the backward reuses the forward's exact mask (finite differences)."""
+    import jax
+
+    from ppgs_tpu.ops.flash_attention import flash_attention_train
+
+    rng = np.random.default_rng(5)
+    B, T, H, D = 1, 32, 1, 128
+    q, k, v = (jnp.asarray(
+        rng.standard_normal((B, T, H * D)).astype(np.float32))
+        for _ in range(3))
+    mask = jnp.ones((B, T), bool)
+    seed = jnp.asarray([17], jnp.int32)
+
+    kwargs = dict(num_heads=H, dropout_rate=0.4, seed=seed, interpret=True)
+    out1 = np.asarray(flash_attention_train(q, k, v, mask, **kwargs))
+    out2 = np.asarray(flash_attention_train(q, k, v, mask, **kwargs))
+    np.testing.assert_array_equal(out1, out2)      # deterministic stream
+
+    other = np.asarray(flash_attention_train(
+        q, k, v, mask, num_heads=H, dropout_rate=0.4,
+        seed=jnp.asarray([18], jnp.int32), interpret=True))
+    assert np.abs(other - out1).max() > 1e-3       # seed changes the mask
+
+    none = np.asarray(flash_attention_train(
+        q, k, v, mask, num_heads=H, interpret=True))
+    assert np.abs(none - out1).max() > 1e-3        # dropout does something
+
+    # Backward consistency: finite differences through the deterministic
+    # dropped forward match the custom backward
+    cot = rng.standard_normal(out1.shape).astype(np.float32)
+
+    def loss(qq):
+        return (flash_attention_train(qq, k, v, mask, **kwargs)
+                * cot).sum()
+
+    g = np.asarray(jax.grad(loss)(q))
+    eps = 1e-3
+    for idx in [(0, 3, 7), (0, 20, 100)]:
+        dq = np.zeros(q.shape, np.float32)
+        dq[idx] = eps
+        fd = (float(loss(q + dq)) - float(loss(q - dq))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=5e-2, atol=5e-3)
+
+
+def test_attention_train_path_gradients_match_xla(monkeypatch):
+    """models.transformer._attention train branch (custom_vjp kernel) vs
+    the XLA train attention: same forward and gradients at bf16
+    tolerance (round-3 verdict #3)."""
+    import functools as ft
+
+    import jax
+
+    import ppgs_tpu.ops.flash_attention as fa
+    from ppgs_tpu.models import transformer
+
+    rng = np.random.default_rng(6)
+    B, T, C, H = 2, 48, 256, 2
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    p = {k: rng.standard_normal((C, C)).astype(np.float32) * 0.05
+         for k in ('wq', 'wk', 'wv', 'wo')}
+    p.update({k: rng.standard_normal((C,)).astype(np.float32) * 0.05
+              for k in ('bq', 'bk', 'bv', 'bo')})
+    mask = np.ones((B, T), bool)
+    mask[1, 30:] = False
+    cot = rng.standard_normal((B, T, C)).astype(np.float32)
+    drop_rng = jax.random.key(0, impl='rbg')
+
+    def loss(x, p, use_kernel):
+        out = transformer._attention(
+            jnp.asarray(x), jax.tree.map(jnp.asarray, p),
+            jnp.asarray(mask), False, H, drop_rng, 0.0,
+            jnp.bfloat16, None)
+        return (out * cot).sum()
+
+    # Kernel path: force eligibility + interpret mode
+    orig = fa.flash_attention_train
+    monkeypatch.setattr(
+        fa, 'flash_attention_train',
+        ft.partial(lambda *a, **k: orig(*a, **{**k, 'interpret': True})))
+    monkeypatch.setattr(transformer, '_use_flash', lambda d: True)
+    out_k = loss(x, p, True)
+    gx_k, gp_k = jax.grad(loss, argnums=(0, 1))(x, p, True)
+
+    # XLA reference (flash disabled)
+    monkeypatch.setattr(transformer, '_use_flash', lambda d: False)
+    out_x = loss(x, p, False)
+    gx_x, gp_x = jax.grad(loss, argnums=(0, 1))(x, p, False)
+
+    # bf16 tolerance: both paths run bf16 matmuls; the kernel keeps fp32
+    # softmax statistics while the XLA train path accumulates at bf16
+    np.testing.assert_allclose(float(out_k), float(out_x),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_x),
+                               rtol=5e-2, atol=5e-2)
+    for key in gp_x:
+        np.testing.assert_allclose(
+            np.asarray(gp_k[key]), np.asarray(gp_x[key]),
+            rtol=5e-2, atol=8e-2, err_msg=key)
