@@ -175,6 +175,24 @@ def feature_encoder(params, audio, config: W2V2Config = BASE,
     compare vs HF torch).
     """
     compute_dtype = jnp.dtype(config.compute_dtype)
+
+    # Pallas whole-stack path (TPU, bf16): every inter-layer activation
+    # stays in VMEM per (batch, time-tile) program; GroupNorm statistics
+    # come from a cheap conv0-only first pass (ops/conv_stack.py)
+    from ..ops import conv_stack
+
+    if conv_stack.supported(config):
+        weights = tuple(layer['conv']['weight']
+                        for layer in params['feature_encoder'])
+        gn = params['feature_encoder'][0].get('group_norm')
+        if gn is not None:
+            patches = conv_stack.make_patches(
+                audio, config.conv_kernel[0], config.conv_stride[0])
+            return conv_stack.feature_encoder_stack(
+                patches, weights, gn['scale'], gn['bias'],
+                tuple(config.conv_kernel), tuple(config.conv_stride),
+                compute_dtype=compute_dtype).astype(jnp.float32)
+
     x = audio[..., None].astype(compute_dtype)        # (B, S, 1)
     for i, layer in enumerate(params['feature_encoder']):
         x = jax.lax.conv_general_dilated(
