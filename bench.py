@@ -288,6 +288,99 @@ def main():
                 'vs_baseline': 0.0,
                 'error': f'{type(error).__name__}: {error}'})
 
+    # --- training throughput (round-4 metric) ------------------------------
+    # Full jitted train step (forward + masked CE + backward + grad stats +
+    # Adam, attention via the custom_vjp flash kernel) at the reference's
+    # MAX_TRAINING_FRAMES scale. Same chained-slope methodology; the
+    # carried train state forces sequential execution.
+    elapsed = time.time() - t_start
+    if (os.environ.get('PPGS_BENCH_TRAIN', '1') != '0'
+            and elapsed < budget * 0.75):
+        try:
+            from ppgs_tpu.train import core as train_core
+
+            optimizer = train_core.make_optimizer(config)
+            opt_state = optimizer.init(mel_params)
+            step_fn = train_core.make_train_step(config, optimizer)
+
+            Bt, Tt = 256, 512               # 131k frames ~ reference budget
+            tkey = jax.random.PRNGKey((time.time_ns() >> 10) & 0x7FFFFFFF)
+            tfeats = jax.random.normal(
+                jax.random.fold_in(tkey, 0),
+                (Bt, config.input_channels, Tt), jnp.float32)
+            ttargets = jax.random.randint(
+                jax.random.fold_in(tkey, 1), (Bt, Tt), 0,
+                config.output_channels)
+            tlengths = jnp.full((Bt,), Tt, jnp.int32)
+            jax.block_until_ready((tfeats, ttargets))
+
+            @jax.jit
+            def many_steps(params, opt_state, feats, targets, lengths, n,
+                           seed):
+                rng = jax.random.PRNGKey(seed)
+
+                def body(i, carry):
+                    p, o = carry
+                    p, o, _, _ = step_fn.__wrapped__(
+                        p, o, feats, targets, lengths,
+                        jax.random.fold_in(rng, i))
+                    return p, o
+                return jax.lax.fori_loop(0, n, body, (params, opt_state))
+
+            salt = iter(range(time.time_ns() % 100000, 10 ** 9))
+
+            def run_steps(n):
+                jax.block_until_ready(many_steps(
+                    mel_params, opt_state, tfeats, ttargets, tlengths, n,
+                    next(salt)))
+                best = float('inf')
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(many_steps(
+                        mel_params, opt_state, tfeats, ttargets, tlengths,
+                        n, next(salt)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            dt = (run_steps(8) - run_steps(2)) / 6
+            step_flops = None
+            try:
+                analysis = jax.jit(step_fn.__wrapped__).lower(
+                    mel_params, opt_state, tfeats, ttargets, tlengths,
+                    jax.random.PRNGKey(0)).compile().cost_analysis()
+                if isinstance(analysis, list):
+                    analysis = analysis[0]
+                step_flops = float(analysis['flops'])
+            except Exception:
+                pass
+            t_floor = (step_flops / peak) if (step_flops and peak) else 0.0
+            if dt > 0 and dt >= 0.5 * t_floor:
+                train_audio_s = Bt * Tt / config.frames_per_second
+                record = {
+                    'metric': 'mel_ppg_train_throughput',
+                    'value': round(train_audio_s / dt, 2),
+                    'unit': 'audio_seconds_per_second_per_chip',
+                    'vs_baseline': 1.0,
+                    'frames_per_step': Bt * Tt,
+                    'device_ms_per_step': round(dt * 1e3, 3),
+                }
+                if step_flops is not None and peak is not None:
+                    record['mfu'] = round(step_flops / dt / peak, 4)
+                lines.append(record)
+            else:
+                lines.append({
+                    'metric': 'mel_ppg_train_throughput', 'value': 0,
+                    'unit': 'audio_seconds_per_second_per_chip',
+                    'vs_baseline': 0.0,
+                    'error': f'step-time slope {dt * 1e3:.3f} ms below '
+                             f'physical floor {t_floor * 1e3:.3f} ms'})
+        except Exception as error:
+            lines.append({
+                'metric': 'mel_ppg_train_throughput', 'value': 0,
+                'unit': 'audio_seconds_per_second_per_chip',
+                'vs_baseline': 0.0,
+                'error': f'{type(error).__name__}: {error}'})
+
     lines.append({
         'metric': 'mel_ppg_inference_throughput',
         'value': round(mel_value, 2),
