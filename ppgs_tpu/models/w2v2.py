@@ -329,6 +329,29 @@ def encoder(params, hidden, attention_mask=None,
         hidden, p['pos_conv'], config, precision).astype(compute_dtype)
     hidden = _layer_norm(hidden, p['norm'], config.layer_norm_eps)
 
+    # Whole-layer Pallas path (TPU, bf16): each encoder layer runs as ONE
+    # kernel (ops/encoder_layer_kernel.py, activation='gelu') — QKV,
+    # 12x64 packed-head attention, out-proj, FFN and both LayerNorms stay
+    # in VMEM per window block. One call per layer: a layer's weights
+    # (~14 MB) stay VMEM-resident, the full 12-layer set would not.
+    B, T, C = hidden.shape
+    d_head = C // config.num_heads
+    if (compute_dtype == jnp.bfloat16 and _use_flash(d_head,
+                                                     config.num_heads, T)):
+        from ..ops import encoder_layer_kernel as elk
+
+        t8 = -(-T // 8) * 8
+        key_mask = (attention_mask > 0 if attention_mask is not None
+                    else jnp.ones((B, T), bool))
+        if t8 != T:
+            hidden = jnp.pad(hidden, ((0, 0), (0, t8 - T), (0, 0)))
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, t8 - T)))
+        for layer in p['layers']:
+            hidden = elk.encoder_stack(
+                hidden, key_mask, [layer], config.num_heads,
+                compute_dtype=compute_dtype, activation='gelu')
+        return hidden[:, :T]
+
     for layer in p['layers']:
         attn_out = _attention(hidden, layer['attn'], attention_mask,
                               config.num_heads, compute_dtype, precision)

@@ -52,7 +52,8 @@ def _ln(r, g, b):
 
 def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
                 wo, bo, g1, be1, w1, b1, w2, b2, g2, be2,
-                *, heads, sm_scale, compute_dtype, block_b, seq_len):
+                *, heads, sm_scale, compute_dtype, block_b, seq_len,
+                activation='relu'):
     """One post-LN layer on a flattened fp32 (block_b*T, C) slab."""
     T = seq_len
     C = x32.shape[-1]
@@ -133,7 +134,13 @@ def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
     y_parts = []
     for r0 in range(0, block_b * T, rows_per_tile):
         tile = slice(r0, r0 + rows_per_tile)
-        h1 = jnp.maximum(dot_cd(r[tile].astype(compute_dtype), w1, b1), 0.0)
+        h1 = dot_cd(r[tile].astype(compute_dtype), w1, b1)
+        if activation == 'gelu':
+            # tanh-approximate GELU, matching the bf16 XLA path
+            # (models/w2v2.py::_gelu)
+            h1 = jax.nn.gelu(h1, approximate=True)
+        else:
+            h1 = jnp.maximum(h1, 0.0)
         y_parts.append(dot(h1, w2, b2))
     y = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
     return _ln(r + y, g2.astype(jnp.float32), be2.astype(jnp.float32))
@@ -144,7 +151,7 @@ def _stack_kernel(x_ref, mask_ref,
                   wo_ref, bo_ref, g1_ref, be1_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
                   o_ref, *, num_layers, heads, sm_scale, compute_dtype,
-                  block_b, seq_len):
+                  block_b, seq_len, activation='relu'):
     # block_b windows per grid step, flattened to one (block_b*T, C) slab so
     # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
     # utilization than per-window M=T); the attention score/value matmuls
@@ -164,7 +171,7 @@ def _stack_kernel(x_ref, mask_ref,
             w1_ref[layer], b1_ref[layer], w2_ref[layer], b2_ref[layer],
             g2_ref[layer], be2_ref[layer],
             heads=heads, sm_scale=sm_scale, compute_dtype=compute_dtype,
-            block_b=block_b, seq_len=seq_len)
+            block_b=block_b, seq_len=seq_len, activation=activation)
     o_ref[...] = x32.reshape(block_b, T, C).astype(o_ref.dtype)
 
 
@@ -242,13 +249,19 @@ def _pick_block_b(B, T, C, F, num_layers=1, budget=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=('heads', 'compute_dtype', 'interpret'))
+    jax.jit,
+    static_argnames=('heads', 'compute_dtype', 'activation', 'interpret'))
 def encoder_stack(x, mask, layers, heads,
-                  compute_dtype=jnp.bfloat16, interpret=False):
+                  compute_dtype=jnp.bfloat16, activation='relu',
+                  interpret=False):
     """The full post-LN encoder stack on (B, T, C) activations, one kernel.
 
     layers: the models.transformer ``params['layers']`` list (each entry has
-    attn/norm1/ffn/norm2 sub-trees). mask: (B, T), nonzero = valid key.
+    attn/norm1/ffn/norm2 sub-trees — wav2vec2's encoder layers share this
+    exact structure, so its 12 layers run here too with
+    ``activation='gelu'``, one call per layer to keep resident weights
+    inside VMEM). mask: (B, T), nonzero = valid key. Heads of any width
+    that divides 128 work (64-lane slices for wav2vec2's 12 x 64).
     Returns x.dtype.
     """
     B, T, C = x.shape
@@ -277,7 +290,8 @@ def encoder_stack(x, mask, layers, heads,
     sm_scale = 1.0 / (C // heads) ** 0.5
     kernel = functools.partial(
         _stack_kernel, num_layers=L, heads=heads, sm_scale=sm_scale,
-        compute_dtype=cd, block_b=block_b, seq_len=T)
+        compute_dtype=cd, block_b=block_b, seq_len=T,
+        activation=activation)
 
     cspec = pl.BlockSpec((L, C, C), lambda b: (0, 0, 0))
     crow = pl.BlockSpec((L, 1, C), lambda b: (0, 0, 0))

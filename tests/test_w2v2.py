@@ -150,3 +150,46 @@ def test_w2v2_bf16_close_to_fp32():
     assert h32.shape == h16.shape
     scale = np.abs(h32).mean()
     assert np.abs(h32 - h16).mean() < 0.05 * scale
+
+
+def test_encoder_layers_via_stack_kernel(monkeypatch):
+    """w2v2 encoder layers through the whole-layer Pallas kernel
+    (activation='gelu', 64-wide heads) match the XLA bf16 path."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ppgs_tpu.models import w2v2 as w2v2_mod
+    from ppgs_tpu.ops import encoder_layer_kernel as elk
+
+    config = dataclasses.replace(
+        w2v2_mod.W2V2Config(
+            conv_dim=(32, 32), conv_kernel=(10, 3), conv_stride=(5, 2),
+            hidden_size=256, num_layers=2, num_heads=4,
+            intermediate_size=512, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4),
+        compute_dtype='bfloat16')
+    params = w2v2_mod.init(jax.random.PRNGKey(7), config)
+    rng = np.random.default_rng(7)
+    hidden = (0.5 * rng.standard_normal((2, 52, 256))).astype(np.float32)
+    mask = np.ones((2, 52), bool)
+    mask[1, 40:] = False
+
+    ref = np.asarray(w2v2_mod.encoder(
+        params, jnp.asarray(hidden), jnp.asarray(mask), config))
+
+    orig = elk.encoder_stack
+    monkeypatch.setattr(
+        elk, 'encoder_stack',
+        functools.partial(
+            lambda *a, **k: orig(*a, **{**k, 'interpret': True})))
+    monkeypatch.setattr(w2v2_mod, '_use_flash', lambda d, h, t: True)
+    got = np.asarray(w2v2_mod.encoder(
+        params, jnp.asarray(hidden), jnp.asarray(mask), config))
+
+    assert got.shape == ref.shape
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(got[valid], ref[valid],
+                               rtol=5e-2, atol=5e-2)
