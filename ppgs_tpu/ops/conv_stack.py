@@ -67,17 +67,43 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=True)
 
 
-def _strided_conv(x, taps, rows_in, rows_out, stride):
-    """VALID strided conv on a (rows_in, C) VMEM slab: k accumulated
-    matmuls over stride-s row slices; fp32 accumulation."""
+def _strided_conv(x, group_weights, rows_in, rows_out, stride):
+    """VALID strided conv on a (rows_in, C) VMEM slab.
+
+    Mosaic forbids strided sublane slices (stride must be 1), so the
+    stride-s decimation is expressed as a LANE FOLD instead: s consecutive
+    rows reshape into one (rows/s, s*C) row, and tap group g (taps
+    [g*s, g*s+rem)) is one (rows_out, rem*C) @ (rem*C, C) matmul over the
+    reshaped slab at sublane offset g*s — stride-1 slices and reshapes
+    only, fp32 accumulation, no zero-padded tap FLOPs (the lane slice
+    keeps exactly rem*C columns).
+    """
+    C = x.shape[1]
+    need = (len(group_weights) - 1) * stride + stride * rows_out
+    if need > rows_in:
+        x = jnp.pad(x, ((0, need - rows_in), (0, 0)))
     acc = None
-    for j, w in enumerate(taps):
-        rows = jax.lax.slice(
-            x, (j, 0), (j + stride * (rows_out - 1) + 1, x.shape[1]),
-            (stride, 1))
-        part = jax.lax.dot(rows, w, preferred_element_type=jnp.float32)
+    for g, wg in enumerate(group_weights):
+        rem = wg.shape[0] // C
+        xr = jax.lax.slice(
+            x, (g * stride, 0), (g * stride + stride * rows_out, C))
+        xr = xr.reshape(rows_out, stride * C)
+        part = jax.lax.dot(xr[:, :rem * C], wg,
+                           preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
     return acc
+
+
+def conv_tap_groups(weight, stride, compute_dtype):
+    """(k, C_in, C_out) conv weight -> per-group stacked (rem*C_in, C_out)
+    matmul weights for the lane-folded strided conv (see _strided_conv)."""
+    k = weight.shape[0]
+    groups = []
+    for g in range(-(-k // stride)):
+        taps = weight[g * stride: min((g + 1) * stride, k)]
+        groups.append(jnp.concatenate(
+            [t.astype(compute_dtype) for t in taps], axis=0))
+    return groups
 
 
 def _stats_kernel(patches_ref, w0_ref, sums_ref, *, frames):
@@ -114,8 +140,9 @@ def _stack_kernel(windows_ref, sums_ref, w0_ref, *tap_refs, o_ref,
     taps_flat = list(tap_refs)
     for i in range(1, len(kernel)):
         k, s = kernel[i], stride[i]
-        taps = [taps_flat.pop(0)[...] for _ in range(k)]
-        out = _strided_conv(x[:rows[i], :], taps, rows[i],
+        n_groups = -(-k // s)
+        groups = [taps_flat.pop(0)[...] for _ in range(n_groups)]
+        out = _strided_conv(x[:rows[i], :], groups, rows[i],
                             rows[i + 1], s)
         x = _gelu(out).astype(cd)
     o_ref[0, 0] = x[:tile_out].astype(o_ref.dtype)
@@ -185,10 +212,10 @@ def feature_encoder_stack(patches, weights, gn_scale, gn_bias,
     # ---- main pass -----------------------------------------------------
     tap_list, tap_specs = [], []
     for i in range(1, n_layers):
-        for j in range(kernel[i]):
-            tap_list.append(weights[i][j].astype(cd))       # (C_in, C_out)
+        for wg in conv_tap_groups(weights[i], stride[i], cd):
+            tap_list.append(wg)                   # (rem*C_in, C_out)
             tap_specs.append(pl.BlockSpec(
-                tap_list[-1].shape, lambda b, t: (0, 0)))
+                wg.shape, lambda b, t: (0, 0)))
 
     kernel_fn = functools.partial(
         _stack_kernel, kernel=kernel, stride=stride, rows=rows,

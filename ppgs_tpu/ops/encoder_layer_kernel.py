@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LN_EPS = 1e-5
+LOG2E = 1.4426950408889634
 MAX_SEQ = 1024          # whole-sequence-in-VMEM limit (see flash_attention)
 FFN_ROW_TILE = 1024     # rows per FFN tile (bounds fp32 hidden to ~8 MB)
 
@@ -50,18 +51,23 @@ def _ln(r, g, b):
     return (r - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
 
 
-def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
+def _layer_body(x32, key_valid, mask_cd, wqkv, bqkv,
                 wo, bo, g1, be1, w1, b1, w2, b2, g2, be2,
-                *, heads, sm_scale, compute_dtype, block_b, seq_len,
+                *, heads, compute_dtype, block_b, seq_len,
                 activation='relu'):
-    """One post-LN layer on a flattened fp32 (block_b*T, C) slab."""
+    """One post-LN layer on a flattened fp32 (block_b*T, C) slab.
+
+    The QKV projection is ONE fused (C, 3C) matmul (wqkv/bqkv carry the
+    softmax scale — times log2(e) on the fast path — pre-folded into the
+    q third); per-head attention outputs accumulate straight through
+    their wo row-slab (two K=d_head dots) instead of a concatenate + one
+    K=C dot, so no head-merge relayout materializes."""
     T = seq_len
     C = x32.shape[-1]
     xc = x32.astype(compute_dtype)
 
-    def dot(a, w, b):
-        out = jax.lax.dot(a, w, preferred_element_type=jnp.float32)
-        return out + b.astype(jnp.float32)
+    def dot(a, w):
+        return jax.lax.dot(a, w, preferred_element_type=jnp.float32)
 
     def dot_cd(a, w, b):
         # fp32 MXU accumulation (Mosaic requires 32-bit acc) rounded to
@@ -71,18 +77,14 @@ def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
         out = jax.lax.dot(a, w, preferred_element_type=jnp.float32)
         return out.astype(compute_dtype) + b.astype(compute_dtype)
 
-    # softmax scale folded into q right after the projection: bb*T*C
-    # multiplies instead of bb*T*T on the logits
-    q = dot_cd(xc, wq, bq) * compute_dtype.type(sm_scale)
-    k = dot_cd(xc, wk, bk)
-    v = dot_cd(xc, wv, bv)
-    q3 = q.reshape(block_b, T, C)
-    k3 = k.reshape(block_b, T, C)
-    v3 = v.reshape(block_b, T, C)
+    qkv = dot_cd(xc, wqkv, bqkv)                         # (bb*T, 3C)
+    q3 = qkv[:, :C].reshape(block_b, T, C)
+    k3 = qkv[:, C:2 * C].reshape(block_b, T, C)
+    v3 = qkv[:, 2 * C:].reshape(block_b, T, C)
 
     d_head = C // heads
     fast_softmax = jnp.dtype(compute_dtype) != jnp.float32
-    outs = []
+    acc = None
     for h in range(heads):                               # static unroll
         sl = slice(h * d_head, (h + 1) * d_head)
         logits = jax.lax.dot_general(
@@ -91,14 +93,15 @@ def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
         if fast_softmax:
             # bf16-width softmax: row max over ALL keys (softmax is
             # shift-invariant, and padded-key logits come from real,
-            # bounded activations, so no overflow risk), exp at compute
-            # dtype, and the key mask applied MULTIPLICATIVELY to p after
-            # the exp — half-width passes, and one mul replaces the fp32
-            # select. (An additive (bb, 1, T) bias would be cheaper still,
-            # but Mosaic miscompiles broadcast-ADD of a middle-dim-1
-            # operand onto a batched-matmul result; MUL is fine.)
+            # bounded activations, so no overflow risk), exp2 at compute
+            # dtype (the log2(e) factor is folded into wq), and the key
+            # mask applied MULTIPLICATIVELY to p after the exp — half-
+            # width passes, and one mul replaces the fp32 select. (An
+            # additive (bb, 1, T) bias would be cheaper still, but Mosaic
+            # miscompiles broadcast-ADD of a middle-dim-1 operand onto a
+            # batched-matmul result; MUL is fine.)
             row_max = logits.max(axis=-1, keepdims=True)
-            p = jnp.exp((logits - row_max).astype(compute_dtype))
+            p = jnp.exp2((logits - row_max).astype(compute_dtype))
             p = p * mask_cd
             denom = jnp.maximum(
                 p.sum(axis=-1, keepdims=True).astype(jnp.float32), 1e-30)
@@ -116,14 +119,14 @@ def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
         # Unnormalized p through the MXU; fold 1/denom into the (T, D)
         # output (flash-attention style) — T reciprocals + T*D multiplies
         # instead of T*T divisions
-        outs.append(
-            jax.lax.dot_general(
-                p, v3[..., sl], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * (1.0 / denom))
-    a = jnp.concatenate(outs, axis=-1).astype(compute_dtype)
-    a = a.reshape(block_b * T, C)
+        oh = jax.lax.dot_general(
+            p, v3[..., sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (1.0 / denom)
+        part = dot(oh.astype(compute_dtype).reshape(block_b * T, d_head),
+                   wo[sl])
+        acc = part if acc is None else acc + part
 
-    r = _ln(x32 + dot(a, wo, bo),
+    r = _ln(x32 + acc + bo.astype(jnp.float32),
             g1.astype(jnp.float32), be1.astype(jnp.float32))
 
     # FFN tiled over row blocks: the (rows, F) fp32 hidden is the VMEM hog
@@ -141,16 +144,16 @@ def _layer_body(x32, key_valid, mask_cd, wq, bq, wk, bk, wv, bv,
             h1 = jax.nn.gelu(h1, approximate=True)
         else:
             h1 = jnp.maximum(h1, 0.0)
-        y_parts.append(dot(h1, w2, b2))
+        y_parts.append(dot(h1, w2) + b2.astype(jnp.float32))
     y = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
     return _ln(r + y, g2.astype(jnp.float32), be2.astype(jnp.float32))
 
 
 def _stack_kernel(x_ref, mask_ref,
-                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                  wqkv_ref, bqkv_ref,
                   wo_ref, bo_ref, g1_ref, be1_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
-                  o_ref, *, num_layers, heads, sm_scale, compute_dtype,
+                  o_ref, *, num_layers, heads, compute_dtype,
                   block_b, seq_len, activation='relu'):
     # block_b windows per grid step, flattened to one (block_b*T, C) slab so
     # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
@@ -165,12 +168,12 @@ def _stack_kernel(x_ref, mask_ref,
     for layer in range(num_layers):                      # static unroll
         x32 = _layer_body(
             x32, key_valid, mask_cd,
-            wq_ref[layer], bq_ref[layer], wk_ref[layer], bk_ref[layer],
-            wv_ref[layer], bv_ref[layer], wo_ref[layer], bo_ref[layer],
+            wqkv_ref[layer], bqkv_ref[layer],
+            wo_ref[layer], bo_ref[layer],
             g1_ref[layer], be1_ref[layer],
             w1_ref[layer], b1_ref[layer], w2_ref[layer], b2_ref[layer],
             g2_ref[layer], be2_ref[layer],
-            heads=heads, sm_scale=sm_scale, compute_dtype=compute_dtype,
+            heads=heads, compute_dtype=compute_dtype,
             block_b=block_b, seq_len=seq_len, activation=activation)
     o_ref[...] = x32.reshape(block_b, T, C).astype(o_ref.dtype)
 
@@ -287,9 +290,23 @@ def encoder_stack(x, mask, layers, heads,
     def row(*path):
         return stack(path, jnp.float32, reshape=(1, -1))
 
+    # Fold the softmax scale (times log2(e) on the exp2 fast path) into
+    # the q third of ONE fused QKV weight/bias per layer
     sm_scale = 1.0 / (C // heads) ** 0.5
+    q_factor = sm_scale * (1.0 if cd == jnp.float32 else LOG2E)
+    wqkv, bqkv = [], []
+    for layer in layers:
+        a = layer['attn']
+        wqkv.append(jnp.concatenate(
+            [a['wq'] * q_factor, a['wk'], a['wv']], axis=1).astype(cd))
+        bqkv.append(jnp.concatenate(
+            [a['bq'] * q_factor, a['bk'], a['bv']]).reshape(1, -1)
+            .astype(jnp.float32))
+    wqkv = jnp.stack(wqkv)
+    bqkv = jnp.stack(bqkv)
+
     kernel = functools.partial(
-        _stack_kernel, num_layers=L, heads=heads, sm_scale=sm_scale,
+        _stack_kernel, num_layers=L, heads=heads,
         compute_dtype=cd, block_b=block_b, seq_len=T,
         activation=activation)
 
@@ -304,7 +321,8 @@ def encoder_stack(x, mask, layers, heads,
         in_specs=[
             pl.BlockSpec((block_b, T, C), lambda b: (b, 0, 0)),
             pl.BlockSpec((block_b, 1, T), lambda b: (b, 0, 0)),
-            cspec, crow, cspec, crow, cspec, crow,       # wq..bv
+            pl.BlockSpec((L, C, 3 * C), lambda b: (0, 0, 0)),
+            pl.BlockSpec((L, 1, 3 * C), lambda b: (0, 0, 0)),
             cspec, crow, crow, crow,                     # wo, bo, g1, be1
             pl.BlockSpec((L, C, F), lambda b: (0, 0, 0)), frow,
             pl.BlockSpec((L, F, C), lambda b: (0, 0, 0)), crow,
@@ -327,9 +345,7 @@ def encoder_stack(x, mask, layers, heads,
         interpret=interpret,
     )(
         x, mask.astype(jnp.float32).reshape(B, 1, T),
-        w('attn', 'wq'), row('attn', 'bq'),
-        w('attn', 'wk'), row('attn', 'bk'),
-        w('attn', 'wv'), row('attn', 'bv'),
+        wqkv, bqkv,
         w('attn', 'wo'), row('attn', 'bo'),
         row('norm1', 'scale'), row('norm1', 'bias'),
         w('ffn', 'w1'), row('ffn', 'b1'),
