@@ -14,6 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.pallas import tpu as pltpu
 
 from . import filterbank
 
@@ -80,6 +81,42 @@ def blocked_dft_kernel(num_fft: int, window_size: int, hopsize: int):
 ###############################################################################
 
 
+def _audio_to_blocks(audio, num_fft, hopsize, valid_samples=None):
+    """(B, 1, S) audio -> ((B, T + J - 1, hop) hop-blocked samples, T).
+
+    Re-blocks samples into hop-sized channels: frame t tap j channel c
+    reads sample (t+j)*hop + c. The reflect padding and the right edge
+    (pad/trim to exactly (T+J-1)*hop samples; basis columns >= num_fft are
+    zero, so zero padding is exact) assemble in ONE concatenate —
+    sequential jnp.pads materialize a full copy each. ``valid_samples``
+    places the end reflection at the true batch end (see
+    magnitude_spectrogram).
+    """
+    B, _, S = audio.shape
+    size = (num_fft - hopsize) // 2
+    P = S + 2 * size
+    T = (P - num_fft) // hopsize + 1
+    taps = -(-num_fft // hopsize)
+    need = (T + taps - 1) * hopsize
+    x = audio[:, 0]
+    if valid_samples is None:
+        right = x[:, -size - 1:-1][:, ::-1]
+        pieces = [x[:, 1:size + 1][:, ::-1], x, right]
+    else:
+        vm = jnp.asarray(valid_samples, jnp.int32)
+        xe = jnp.concatenate([x, jnp.zeros((B, size), x.dtype)], axis=1)
+        # reflection: xe[vm + i] = x[vm - 2 - i], i in [0, size)
+        zero = jnp.zeros((), jnp.int32)
+        seg = jax.lax.dynamic_slice(
+            xe, (zero, vm - size - 1), (B, size))[:, ::-1]
+        xe = jax.lax.dynamic_update_slice(xe, seg, (zero, vm))
+        pieces = [x[:, 1:size + 1][:, ::-1], xe[:, :S + size]]
+    if need > P:
+        pieces.append(jnp.zeros((B, need - P), x.dtype))
+    blocks = jnp.concatenate(pieces, axis=1)[:, :need]
+    return blocks.reshape(B, T + taps - 1, hopsize), T
+
+
 def reflect_pad_audio(audio, num_fft, hopsize):
     """Reference-equivalent reflect padding of (B, 1, S) audio."""
     size = (num_fft - hopsize) // 2
@@ -110,35 +147,8 @@ def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
     of (nfft-hop)/2 samples, shape-static, no recompilation per length.
     """
     audio = audio.astype(jnp.float32)
-    B, _, S = audio.shape
-    size = (num_fft - hopsize) // 2
-    P = S + 2 * size
-    T = (P - num_fft) // hopsize + 1
     kernel = blocked_dft_kernel(num_fft, window_size, hopsize)  # (J, hop, 2F)
-    taps = kernel.shape[0]
-    # Re-block samples into hop-sized channels: frame t tap j channel c reads
-    # sample (t+j)*hop + c. The reflect padding and the right edge (pad/trim
-    # to exactly (T+J-1)*hop samples; basis columns >= num_fft are zero, so
-    # zero padding is exact) assemble in ONE concatenate — sequential
-    # jnp.pads materialize a full copy each.
-    need = (T + taps - 1) * hopsize
-    x = audio[:, 0]
-    if valid_samples is None:
-        right = x[:, -size - 1:-1][:, ::-1]
-        pieces = [x[:, 1:size + 1][:, ::-1], x, right]
-    else:
-        vm = jnp.asarray(valid_samples, jnp.int32)
-        xe = jnp.concatenate([x, jnp.zeros((B, size), x.dtype)], axis=1)
-        # reflection: xe[vm + i] = x[vm - 2 - i], i in [0, size)
-        zero = jnp.zeros((), jnp.int32)
-        seg = jax.lax.dynamic_slice(
-            xe, (zero, vm - size - 1), (B, size))[:, ::-1]
-        xe = jax.lax.dynamic_update_slice(xe, seg, (zero, vm))
-        pieces = [x[:, 1:size + 1][:, ::-1], xe[:, :S + size]]
-    if need > P:
-        pieces.append(jnp.zeros((B, need - P), x.dtype))
-    blocks = jnp.concatenate(pieces, axis=1)[:, :need]
-    blocks = blocks.reshape(B, T + taps - 1, hopsize)   # (B, N_hops, hop)
+    blocks, T = _audio_to_blocks(audio, num_fft, hopsize, valid_samples)
     out = jax.lax.conv_general_dilated(
         blocks,
         kernel,
@@ -152,6 +162,122 @@ def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
     return jnp.sqrt(real * real + imag * imag + 1e-6)
 
 
+###############################################################################
+# Fused Pallas frontend (TPU bf16 path)
+###############################################################################
+#
+# The XLA formulation writes the (B, 2F, T) spectrum (F=513 -> fp32
+# hundreds of MB at the bench workload) to HBM between the DFT conv and
+# the magnitude/mel stages; measured 0.40 MFU. The Pallas kernel keeps
+# everything per (batch, frame-tile) in VMEM: the strided DFT is taps
+# accumulated (rows, hop) @ (hop, 2F') matmuls over shifted stride-1 row
+# slices of the hop-blocked audio, and the awkward re/im split (513 is
+# not lane-aligned) disappears behind two tricks:
+#   - magnitude: sq = acc^2; a circular lane ROLL by F aligns im^2 under
+#     re^2, so mag = sqrt(sq + roll(sq) + 1e-6) needs no slicing;
+#   - mel: the (M, F) basis transposes into a (2F', 128) matmul operand
+#     whose rows past F are zero, so the garbage lanes the roll leaves at
+#     f >= F multiply by zero instead of being sliced off.
+# 2F' pads 2F=1026 to the 128-lane multiple (1152): +12% zero-column DFT
+# FLOPs for a slice-free kernel.
+
+MEL_TILE = 1024          # frames per grid program
+
+
+def _mel_kernel_host(sample_rate, num_fft, window_size, hopsize, num_mels):
+    """(taps, hop, 2F_pad) bf16 DFT basis + (2F_pad, mel_pad) bf16
+    transposed/stacked mel basis; cached per geometry."""
+    basis = blocked_dft_kernel(num_fft, window_size, hopsize)  # (J, hop, 2F)
+    two_f = basis.shape[-1]
+    f_pad = -(-two_f // 256) * 256
+    basis_p = np.zeros(basis.shape[:2] + (f_pad,), np.float32)
+    basis_p[..., :two_f] = basis
+    mel = mel_basis(sample_rate, num_fft, num_mels)            # (M, F)
+    mel_pad = -(-num_mels // 128) * 128
+    mel_t = np.zeros((f_pad, mel_pad), np.float32)
+    mel_t[:two_f // 2, :num_mels] = mel.T
+    return basis_p, mel_t
+
+
+def _fused_mel_kernel(win_ref, basis_ref, mel_ref, o_ref, *, taps, rows,
+                      n_freqs, f_pad):
+    acc = None
+    for g in range(taps):
+        part = jax.lax.dot(
+            win_ref[0, 0, g:g + rows].astype(jnp.bfloat16),
+            basis_ref[g].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)           # (rows, f_pad)
+        acc = part if acc is None else acc + part
+    sq = acc * acc
+    # Align im^2 (lanes [F, 2F)) under re^2 (lanes [0, F)): circular roll
+    rolled = pltpu.roll(sq, shift=f_pad - n_freqs, axis=1)
+    mag = jnp.sqrt(sq + rolled + 1e-6)                    # valid on f < F
+    mel = jax.lax.dot(mag.astype(jnp.bfloat16), mel_ref[...],
+                      preferred_element_type=jnp.float32)
+    o_ref[0, 0] = jnp.log(jnp.maximum(mel, 1e-5))
+
+
+def _fused_log_mel(blocks, T, sample_rate, num_fft, window_size, hopsize,
+                   num_mels, interpret=False):
+    """(B, T + taps - 1, hop) blocked audio -> (B, num_mels, T)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu_mod
+
+    B = blocks.shape[0]
+    basis_p, mel_t = _mel_kernel_host(
+        sample_rate, num_fft, window_size, hopsize, num_mels)
+    taps, _, f_pad = basis_p.shape
+    n_freqs = num_fft // 2 + 1
+    mel_pad = mel_t.shape[1]
+
+    tile = min(MEL_TILE, -(-T // 8) * 8)
+    n_tiles = -(-T // tile)
+    rows_in = tile + taps - 1
+    # Per-tile overlapping windows (halo = taps - 1 rows, ~1% duplication)
+    need = (n_tiles - 1) * tile + rows_in
+    blocks = jnp.pad(
+        blocks, ((0, 0), (0, max(0, need - blocks.shape[1])), (0, 0)))
+    idx = (jnp.arange(n_tiles) * tile)[:, None] + jnp.arange(rows_in)[None]
+    windows = blocks[:, idx].astype(jnp.bfloat16)  # (B, nt, rows_in, hop)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_mel_kernel, taps=taps, rows=tile,
+                          n_freqs=n_freqs, f_pad=f_pad),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows_in, hopsize),
+                         lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec(basis_p.shape, lambda b, t: (0, 0, 0)),
+            pl.BlockSpec(mel_t.shape, lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile, mel_pad),
+                               lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tiles, tile, mel_pad), jnp.float32),
+        compiler_params=pltpu_mod.CompilerParams(
+            dimension_semantics=('parallel', 'parallel')),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_tiles * tile * taps * hopsize * f_pad,
+            bytes_accessed=windows.size * 2 + B * T * mel_pad * 4,
+            transcendentals=B * n_tiles * tile * mel_pad),
+        interpret=interpret,
+    )(windows, jnp.asarray(basis_p, jnp.bfloat16),
+      jnp.asarray(mel_t, jnp.bfloat16))
+    out = out.reshape(B, n_tiles * tile, mel_pad)[:, :T, :num_mels]
+    return out.transpose(0, 2, 1)                         # (B, M, T)
+
+
+def _use_fused_mel():
+    import os
+
+    if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except RuntimeError:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=('sample_rate', 'num_fft',
                                              'hopsize', 'window_size',
                                              'num_mels', 'precision',
@@ -162,9 +288,19 @@ def log_mel_spectrogram(audio, sample_rate=16000, num_fft=1024, hopsize=160,
     """Log-mel spectrogram of (B, 1, S) audio -> (B, num_mels, T).
 
     Mel projection + dynamic range compression log(clamp(mel, 1e-5)) as in the
-    reference (ppgs/preprocess/mel.py:56-76). The DFT conv, magnitude, mel
-    matmul, and log all fuse inside one XLA computation.
+    reference (ppgs/preprocess/mel.py:56-76). With precision='default' on a
+    TPU backend the whole frontend runs as one fused Pallas kernel (bf16
+    matmul operands, fp32 accumulation/statistics — the production
+    compute-dtype path); other precisions keep the XLA formulation (fp32
+    strict parity).
     """
+    if precision == 'default' and _use_fused_mel():
+        blocks, T = _audio_to_blocks(
+            audio.astype(jnp.float32), num_fft, hopsize, valid_samples)
+        return _fused_log_mel(
+            blocks, T, sample_rate, num_fft, window_size, hopsize,
+            num_mels).astype(output_dtype)
+
     spec = magnitude_spectrogram(
         audio, num_fft, hopsize, window_size, precision,
         valid_samples=valid_samples)

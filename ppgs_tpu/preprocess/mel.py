@@ -22,6 +22,12 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
     # True batch end: the end reflection lands there, not at the padded S
     valid = (jnp.max(jnp.asarray(lengths)).astype(jnp.int32)
              if lengths is not None else None)
+    # bf16 configs ride the fused Pallas frontend on TPU (bf16 matmul
+    # operands, fp32 accumulation — same width as the encoder compute);
+    # fp32 configs keep the strict-parity XLA path ('highest')
+    precision = ('default'
+                 if jnp.dtype(config.compute_dtype) == jnp.bfloat16
+                 else 'highest')
     return stft_ops.log_mel_spectrogram(
         audio,
         sample_rate=config.sample_rate,
@@ -29,6 +35,7 @@ def from_audios(audio, lengths=None, config=None, output_dtype=jnp.float32):
         hopsize=config.hopsize,
         window_size=config.window_size,
         num_mels=config.num_mels,
+        precision=precision,
         output_dtype=output_dtype,
         valid_samples=valid)
 

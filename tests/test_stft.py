@@ -77,3 +77,25 @@ def test_mel_filterbank_properties():
     mel_f = filterbank.mel_frequencies(82, 0, 8000)
     assert math.isclose(mel_f[0], 0.0, abs_tol=1e-9)
     assert mel_f[-1] == pytest.approx(8000.0, rel=1e-6)
+
+
+def test_fused_mel_kernel_matches_xla():
+    """The fused Pallas frontend (DFT + magnitude + mel + log in VMEM,
+    bf16 operands) tracks the fp32 XLA formulation."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    audio = (0.3 * rng.standard_normal((2, 1, 12345))).astype(np.float32)
+
+    ref = np.asarray(stft_ops.log_mel_spectrogram(
+        jnp.asarray(audio), precision='highest'))
+
+    blocks, T = stft_ops._audio_to_blocks(jnp.asarray(audio), 1024, 160)
+    got = np.asarray(stft_ops._fused_log_mel(
+        blocks, T, 16000, 1024, 1024, 160, 80, interpret=True))
+
+    assert got.shape == ref.shape
+    # bf16 DFT/mel operands: ~1e-2 relative in mel -> ~1e-2 absolute in
+    # log-mel away from the clamp floor
+    np.testing.assert_allclose(got, ref, atol=6e-2, rtol=2e-2)
+    assert np.mean(np.abs(got - ref) < 2e-2) > 0.97
