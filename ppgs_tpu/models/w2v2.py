@@ -334,10 +334,13 @@ def encoder(params, hidden, attention_mask=None,
     # 12x64 packed-head attention, out-proj, FFN and both LayerNorms stay
     # in VMEM per window block. One call per layer: a layer's weights
     # (~14 MB) stay VMEM-resident, the full 12-layer set would not.
+    import os
+
     B, T, C = hidden.shape
     d_head = C // config.num_heads
-    if (compute_dtype == jnp.bfloat16 and _use_flash(d_head,
-                                                     config.num_heads, T)):
+    if (os.environ.get('PPGS_TPU_W2V2_LAYER_KERNEL', '1') != '0'
+            and compute_dtype == jnp.bfloat16
+            and _use_flash(d_head, config.num_heads, T)):
         from ..ops import encoder_layer_kernel as elk
 
         t8 = -(-T // 8) * 8

@@ -267,6 +267,12 @@ def supported(config) -> bool:
 
     if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
         return False
+    # Measured SLOWER than the XLA conv stack at the bench workload
+    # (33.8 vs 22 ms: the per-layer lane-fold relayouts outcost the HBM
+    # round trips they replace) — opt-in until a relayout-free
+    # formulation lands. PPGS_TPU_CONV_STACK=1 enables.
+    if os.environ.get('PPGS_TPU_CONV_STACK', '0') != '1':
+        return False
     try:
         on_tpu = jax.default_backend() == 'tpu'
     except RuntimeError:

@@ -36,13 +36,16 @@ PEAK = 197e12  # v5e bf16
 
 
 def slope_time(many, args, n1=4, n2=12, reps=3):
-    """many(*args, n) -> scalar; fit device time per application."""
+    """many(*args, n) -> scalar; fit device time per application.
+
+    Fetches an output VALUE each run — a degraded remote runtime acks
+    block_until_ready without computing (verify-skill gotcha)."""
     def run(n):
-        many(*args, n).block_until_ready()
+        float(np.asarray(jax.device_get(many(*args, n))))
         best = float('inf')
         for _ in range(reps):
             t0 = time.perf_counter()
-            many(*args, n).block_until_ready()
+            float(np.asarray(jax.device_get(many(*args, n))))
             best = min(best, time.perf_counter() - t0)
         return best
     return (run(n2) - run(n1)) / (n2 - n1)
