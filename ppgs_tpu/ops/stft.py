@@ -169,49 +169,47 @@ def magnitude_spectrogram(audio, num_fft=1024, hopsize=160, window_size=1024,
 # The XLA formulation writes the (B, 2F, T) spectrum (F=513 -> fp32
 # hundreds of MB at the bench workload) to HBM between the DFT conv and
 # the magnitude/mel stages; measured 0.40 MFU. The Pallas kernel keeps
-# everything per (batch, frame-tile) in VMEM: the strided DFT is taps
-# accumulated (rows, hop) @ (hop, 2F') matmuls over shifted stride-1 row
-# slices of the hop-blocked audio, and the awkward re/im split (513 is
-# not lane-aligned) disappears behind two tricks:
-#   - magnitude: sq = acc^2; a circular lane ROLL by F aligns im^2 under
-#     re^2, so mag = sqrt(sq + roll(sq) + 1e-6) needs no slicing;
-#   - mel: the (M, F) basis transposes into a (2F', 128) matmul operand
-#     whose rows past F are zero, so the garbage lanes the roll leaves at
-#     f >= F multiply by zero instead of being sliced off.
-# 2F' pads 2F=1026 to the 128-lane multiple (1152): +12% zero-column DFT
-# FLOPs for a slice-free kernel.
+# everything per (batch, frame-tile) in VMEM: frames are im2col'd
+# host-side (a 7x duplication of the tiny 1-channel audio) so each
+# window is ONE contiguous K = J*hop contraction — per-tap K=hop dots
+# ran the MXU at hop/128-pass granularity (hop=160 -> 62%). The DFT runs
+# twice, against separate cos and -sin bases, so the magnitude
+# sqrt(re^2 + im^2 + 1e-6) is pure elementwise VPU work with no lane
+# roll or misaligned slicing (F=513 is not lane-aligned; a circular roll
+# measured ~0.6 ms of cross-lane shuffles). The mel projection is a
+# transposed-basis matmul straight off the magnitude slab.
 
 MEL_TILE = 1024          # frames per grid program
 
 
 def _mel_kernel_host(sample_rate, num_fft, window_size, hopsize, num_mels):
-    """(taps, hop, 2F_pad) bf16 DFT basis + (2F_pad, mel_pad) bf16
-    transposed/stacked mel basis; cached per geometry."""
+    """((J*hop, F) cos basis, (J*hop, F) -sin basis, (F, mel_pad)
+    transposed mel basis) for the im2col formulation; cached per
+    geometry. Basis row j*hop + c is window sample j*hop + c (taps
+    flattened tap-major, matching the im2col column order)."""
     basis = blocked_dft_kernel(num_fft, window_size, hopsize)  # (J, hop, 2F)
-    two_f = basis.shape[-1]
-    f_pad = -(-two_f // 256) * 256
-    basis_p = np.zeros(basis.shape[:2] + (f_pad,), np.float32)
-    basis_p[..., :two_f] = basis
+    taps, hop, _ = basis.shape
+    n_freqs = num_fft // 2 + 1
+    flat = basis.reshape(taps * hop, 2 * n_freqs)
+    basis_re = np.ascontiguousarray(flat[:, :n_freqs])
+    basis_im = np.ascontiguousarray(flat[:, n_freqs:])
     mel = mel_basis(sample_rate, num_fft, num_mels)            # (M, F)
     mel_pad = -(-num_mels // 128) * 128
-    mel_t = np.zeros((f_pad, mel_pad), np.float32)
-    mel_t[:two_f // 2, :num_mels] = mel.T
-    return basis_p, mel_t
+    mel_t = np.zeros((n_freqs, mel_pad), np.float32)
+    mel_t[:, :num_mels] = mel.T
+    return basis_re, basis_im, mel_t
 
 
-def _fused_mel_kernel(win_ref, basis_ref, mel_ref, o_ref, *, taps, rows,
-                      n_freqs, f_pad):
-    acc = None
-    for g in range(taps):
-        part = jax.lax.dot(
-            win_ref[0, 0, g:g + rows].astype(jnp.bfloat16),
-            basis_ref[g].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)           # (rows, f_pad)
-        acc = part if acc is None else acc + part
-    sq = acc * acc
-    # Align im^2 (lanes [F, 2F)) under re^2 (lanes [0, F)): circular roll
-    rolled = pltpu.roll(sq, shift=f_pad - n_freqs, axis=1)
-    mag = jnp.sqrt(sq + rolled + 1e-6)                    # valid on f < F
+def _fused_mel_kernel(win_ref, re_ref, im_ref, mel_ref, o_ref):
+    # One K = num_fft-ish contraction per half: per-tap K=hop dots ran
+    # the MXU at hop/128-pass granularity (hop=160 -> 62% K-efficiency);
+    # the host-side im2col makes each window one contiguous row.
+    win = win_ref[0, 0]                                   # (rows, J*hop)
+    re = jax.lax.dot(win, re_ref[...],
+                     preferred_element_type=jnp.float32)  # (rows, F)
+    im = jax.lax.dot(win, im_ref[...],
+                     preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im + 1e-6)
     mel = jax.lax.dot(mag.astype(jnp.bfloat16), mel_ref[...],
                       preferred_element_type=jnp.float32)
     o_ref[0, 0] = jnp.log(jnp.maximum(mel, 1e-5))
@@ -224,30 +222,32 @@ def _fused_log_mel(blocks, T, sample_rate, num_fft, window_size, hopsize,
     from jax.experimental.pallas import tpu as pltpu_mod
 
     B = blocks.shape[0]
-    basis_p, mel_t = _mel_kernel_host(
+    basis_re, basis_im, mel_t = _mel_kernel_host(
         sample_rate, num_fft, window_size, hopsize, num_mels)
-    taps, _, f_pad = basis_p.shape
-    n_freqs = num_fft // 2 + 1
+    n_freqs = basis_re.shape[1]
     mel_pad = mel_t.shape[1]
+    taps = basis_re.shape[0] // hopsize
 
     tile = min(MEL_TILE, -(-T // 8) * 8)
     n_tiles = -(-T // tile)
-    rows_in = tile + taps - 1
-    # Per-tile overlapping windows (halo = taps - 1 rows, ~1% duplication)
-    need = (n_tiles - 1) * tile + rows_in
+    # Host-side im2col: frame t = blocks rows [t, t+J) flattened — a 7x
+    # duplication of the (tiny, 1-channel) audio for one contiguous
+    # K = J*hop contraction per frame
+    need = (n_tiles - 1) * tile + tile + taps - 1
     blocks = jnp.pad(
         blocks, ((0, 0), (0, max(0, need - blocks.shape[1])), (0, 0)))
-    idx = (jnp.arange(n_tiles) * tile)[:, None] + jnp.arange(rows_in)[None]
-    windows = blocks[:, idx].astype(jnp.bfloat16)  # (B, nt, rows_in, hop)
+    idx = jnp.arange(n_tiles * tile)[:, None] + jnp.arange(taps)[None]
+    windows = blocks[:, idx].reshape(
+        B, n_tiles, tile, taps * hopsize).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        functools.partial(_fused_mel_kernel, taps=taps, rows=tile,
-                          n_freqs=n_freqs, f_pad=f_pad),
+        _fused_mel_kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, rows_in, hopsize),
+            pl.BlockSpec((1, 1, tile, taps * hopsize),
                          lambda b, t: (b, t, 0, 0)),
-            pl.BlockSpec(basis_p.shape, lambda b, t: (0, 0, 0)),
+            pl.BlockSpec(basis_re.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(basis_im.shape, lambda b, t: (0, 0)),
             pl.BlockSpec(mel_t.shape, lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, tile, mel_pad),
@@ -257,11 +257,12 @@ def _fused_log_mel(blocks, T, sample_rate, num_fft, window_size, hopsize,
         compiler_params=pltpu_mod.CompilerParams(
             dimension_semantics=('parallel', 'parallel')),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_tiles * tile * taps * hopsize * f_pad,
+            flops=2 * B * n_tiles * tile * taps * hopsize * 2 * n_freqs,
             bytes_accessed=windows.size * 2 + B * T * mel_pad * 4,
             transcendentals=B * n_tiles * tile * mel_pad),
         interpret=interpret,
-    )(windows, jnp.asarray(basis_p, jnp.bfloat16),
+    )(windows, jnp.asarray(basis_re, jnp.bfloat16),
+      jnp.asarray(basis_im, jnp.bfloat16),
       jnp.asarray(mel_t, jnp.bfloat16))
     out = out.reshape(B, n_tiles * tile, mel_pad)[:, :T, :num_mels]
     return out.transpose(0, 2, 1)                         # (B, M, T)
@@ -270,6 +271,13 @@ def _fused_log_mel(blocks, T, sample_rate, num_fft, window_size, hopsize,
 def _use_fused_mel():
     import os
 
+    # Measured SLOWER than the XLA strided-conv formulation at the bench
+    # workload (1.62-2.41 ms across three fused variants vs 1.43 ms XLA:
+    # per-tap K=hop dots run the MXU at 62% pass granularity, a circular
+    # lane roll costs ~0.6 ms of shuffles, and a host-side im2col pays
+    # more gather bandwidth than it saves) — opt-in negative result.
+    if os.environ.get('PPGS_TPU_FUSED_MEL', '0') != '1':
+        return False
     if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
         return False
     try:
