@@ -276,7 +276,7 @@ def _train_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref,
     p = jnp.exp(logits - row_max)
     p = jnp.where(mask[None, :], p, 0.0)
     denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
-    lse_ref[0, 0] = (row_max + jnp.log(denom))[:, 0]
+    lse_ref[0, 0, 0] = (row_max + jnp.log(denom))[:, 0]
     pn = p / denom
     if rate > 0.0:
         keep = _dropout_keep(pn.shape, rate, seed_ref[0], b, h, interpret)
@@ -292,7 +292,7 @@ def _train_bwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
     b, h = pl.program_id(0), pl.program_id(1)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     o, do = o_ref[0], do_ref[0]
-    lse = lse_ref[0, 0][:, None]                         # (T, 1) fp32
+    lse = lse_ref[0, 0, 0][:, None]                      # (T, 1) fp32
     mask = mask_ref[0, 0, :] > 0
 
     # Recompute normalized probabilities from the saved statistics
@@ -383,7 +383,10 @@ def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
         ],
         out_specs=[
             _head_specs(T, D),
-            pl.BlockSpec((1, 1, T), lambda b, h, *_: (b, h, 0),
+            # (B, H, 1, T) with a unit dim so the block's last two dims
+            # equal the array's (TPU tiling: last two dims must be
+            # (8,128)-divisible or whole)
+            pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -394,7 +397,7 @@ def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, T, C), q.dtype),
-            jax.ShapeDtypeStruct((B, num_heads, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_heads, 1, T), jnp.float32),
         ],
         interpret=interpret,
     )(seed_i, mask_i, q, k, v)
@@ -421,7 +424,7 @@ def _train_bwd_rule(num_heads, dropout_rate, interpret, residuals, do):
                          memory_space=pltpu.VMEM),
             _head_specs(T, D), _head_specs(T, D), _head_specs(T, D),
             _head_specs(T, D),
-            pl.BlockSpec((1, 1, T), lambda b, h, *_: (b, h, 0),
+            pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             _head_specs(T, D),
         ],
