@@ -116,8 +116,8 @@ def test_pick_block_b_device_aware_budgets(monkeypatch):
     assert elk._device_vmem_bytes() in {
         mb * 1024 * 1024 for _, mb in elk._VMEM_MB} | {
         elk._FALLBACK_VMEM_MB * 1024 * 1024}
-    # Budget = half physical; env var still overrides
-    assert elk._vmem_budget_bytes() == elk._device_vmem_bytes() // 2
+    # Budget = 5/8 physical; env var still overrides
+    assert elk._vmem_budget_bytes() == elk._device_vmem_bytes() * 5 // 8
     monkeypatch.setenv('PPGS_TPU_VMEM_BUDGET_MB', '12')
     assert elk._vmem_budget_bytes() == 12 << 20
     assert elk._vmem_limit_bytes() == int(elk._device_vmem_bytes() * 0.8)
