@@ -244,18 +244,19 @@ def supported():
 # never materializes in HBM either.
 
 
-def _dropout_keep(shape, rate, seed, b, h, interpret):
-    """Deterministic per-(batch, head) keep-mask.
+def _dropout_keep(shape, rate, seed, pid, interpret):
+    """Deterministic per-(batch, head) keep-mask; ``pid`` folds the
+    (batch, head) grid position into one scalar (the TPU PRNG accepts at
+    most two seed values).
 
     Compiled TPU path: hardware PRNG (pltpu.prng_*), seeded per program.
     Interpret mode (CPU tests): threefry fallback — prng_seed has no CPU
-    lowering. Both are deterministic per (seed, b, h); forward and
+    lowering. Both are deterministic per (seed, pid); forward and
     backward regenerate the identical mask."""
     if interpret:
-        key = jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(seed), b), h)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), pid)
         return jax.random.uniform(key, shape) < (1.0 - rate)
-    pltpu.prng_seed(seed, b, h)
+    pltpu.prng_seed(seed, pid)
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(round((1.0 - rate) * float(2 ** 32 - 1)))
     return pltpu.bitcast(bits, jnp.uint32) <= threshold
@@ -279,7 +280,8 @@ def _train_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref,
     lse_ref[0, 0, 0] = (row_max + jnp.log(denom))[:, 0]
     pn = p / denom
     if rate > 0.0:
-        keep = _dropout_keep(pn.shape, rate, seed_ref[0], b, h, interpret)
+        keep = _dropout_keep(pn.shape, rate, seed_ref[0],
+                             b * heads + h, interpret)
         pn = jnp.where(keep, pn * (1.0 / (1.0 - rate)), 0.0)
     o_ref[0] = jax.lax.dot_general(
         pn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -303,8 +305,9 @@ def _train_bwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
     pn = jnp.where(mask[None, :], pn, 0.0)               # (T, T) fp32
 
     if rate > 0.0:
-        # Same (seed, b, h) stream as the forward
-        keep = _dropout_keep(pn.shape, rate, seed_ref[0], b, h, interpret)
+        # Same (seed, batch*heads+head) stream as the forward
+        keep = _dropout_keep(pn.shape, rate, seed_ref[0],
+                             b * heads + h, interpret)
         inv = 1.0 / (1.0 - rate)
         pd = jnp.where(keep, pn * inv, 0.0)              # dropped+scaled
     else:
