@@ -1,5 +1,11 @@
 """Training-step throughput on the real chip (secondary benchmark).
 
+SUPERSEDED: bench.py emits the same metric (mel_ppg_train_throughput)
+with the full anti-degradation guards (output-value fetch + physical
+floor rejection); this standalone script has neither and can report
+garbage when the remote runtime is in its degraded state — prefer
+  PPGS_BENCH_W2V2FB=0 python bench.py
+
 Measures audio-seconds of speech trained per second per chip through the
 full jitted train step (forward + masked CE + backward + grad stats +
 Adam) on the flagship mel config, synthetic data generated on device.
