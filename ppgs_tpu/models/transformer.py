@@ -356,7 +356,11 @@ def forward(
     pe = positional_encoding(config.max_len, config.hidden_channels)[:T]
     x = x + pe[None]
     n_rngs = 1 + 4 * config.num_hidden_layers
-    if train and rng is not None and config.dropout > 0:
+    if train and rng is not None:
+        # rngs exist for ANY train call (even dropout=0): a None rng
+        # routes to the forward-only inference kernels, which cannot be
+        # differentiated — training at dropout=0 crashed on TPU before
+        # this guard. Dropout sites are no-ops at rate 0.
         rngs = list(jax.random.split(rng, n_rngs))
     else:
         rngs = [None] * n_rngs
