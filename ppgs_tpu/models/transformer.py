@@ -301,6 +301,26 @@ def _encoder_layer(x, layer, key_mask, causal, heads, rngs, dropout,
             layer['ffn']['b2'],
             layer['norm2']['scale'], layer['norm2']['bias'])
 
+    # Train-mode fused FFN (custom_vjp, in-kernel dropout on both FFN
+    # sites): dropout measured 44% of the train step, dominated by these
+    # masks' generation + where-passes over the (M, F) hidden and their
+    # backward replay — the kernel reseeds the identical hardware-PRNG
+    # stream in the backward, so no mask or hidden ever reaches HBM.
+    if (rngs[2] is not None and compute_dtype == jnp.bfloat16
+            and _use_fused_ffn(B * T, C, F)):
+        from ..ops import fused_ffn
+
+        seed = jax.random.key_data(rngs[2]).ravel()[0].astype(jnp.int32)
+        y = fused_ffn.ffn_train(
+            x.astype(compute_dtype),
+            layer['ffn']['w1'].astype(compute_dtype),
+            layer['ffn']['b1'].astype(compute_dtype),
+            layer['ffn']['w2'].astype(compute_dtype),
+            layer['ffn']['b2'].astype(compute_dtype),
+            dropout_rate=float(dropout), seed=seed)
+        return _layer_norm(x + y.astype(x.dtype),
+                           layer['norm2']['scale'], layer['norm2']['bias'])
+
     xc = x.astype(compute_dtype)
     h = jax.nn.relu(
         xc @ layer['ffn']['w1'].astype(compute_dtype)
