@@ -179,7 +179,9 @@ def _ffn_train_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       preferred_element_type=jnp.float32)  # (bm, F)
     if rate > 0.0:
         dhd = jnp.where(keep1, dhd * inv, 0.0)
-    dh = jnp.where(h > 0.0, dhd, 0.0)                     # relu'
+    # relu' from the (rounded) forward value; the compare runs in fp32 —
+    # the v5e target rejects bf16 vector comparisons
+    dh = jnp.where(h.astype(jnp.float32) > 0.0, dhd, 0.0)
     dhc = dh.astype(compute_dtype)
 
     dx_ref[...] = jax.lax.dot(
