@@ -258,6 +258,8 @@ def _ffn_train_fwd(x, w1, b1, w2, b2, seed_i, rate, block_m, interpret):
                           compute_dtype=cd, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, C), cd),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed_i, x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
     return out, (x, w1, b1, w2, b2, seed_i)
@@ -297,7 +299,10 @@ def _ffn_train_bwd(rate, block_m, interpret, residuals, g):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=('arbitrary',),
+            # The recomputed hidden + dropout masks + weight-grad
+            # accumulators exceed the default 16 MB scoped-vmem stack
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed_i, x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
       w1.T, w2.T, g)
