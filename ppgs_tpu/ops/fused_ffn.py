@@ -260,6 +260,10 @@ def _ffn_train_fwd(x, w1, b1, w2, b2, seed_i, rate, block_m, interpret):
         out_shape=jax.ShapeDtypeStruct((M, C), cd),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * C * F,
+            bytes_accessed=2 * M * C * 2 + 4 * C * F * 2,
+            transcendentals=0),
         interpret=interpret,
     )(seed_i, x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
     return out, (x, w1, b1, w2, b2, seed_i)
@@ -303,6 +307,10 @@ def _ffn_train_bwd(rate, block_m, interpret, residuals, g):
             # The recomputed hidden + dropout masks + weight-grad
             # accumulators exceed the default 16 MB scoped-vmem stack
             vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * M * C * F,
+            bytes_accessed=4 * M * C * 2 + 8 * C * F * 4,
+            transcendentals=0),
         interpret=interpret,
     )(seed_i, x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
       w1.T, w2.T, g)
