@@ -267,3 +267,21 @@ def test_from_audio_batched_lengths(checkpoint):
     with pytest.raises(ValueError):
         ppgs_tpu.from_audio(audio, 16000, checkpoint=path,
                             lengths=[S, 32000], config=config)
+
+
+def test_from_audio_lengths_resample_scaling(checkpoint):
+    """Per-row lengths scale with resampling: 48 kHz input halves... i.e.
+    lengths map through the 48k->16k ratio before frame derivation."""
+    tm, path = checkpoint
+    rng = np.random.default_rng(11)
+    S48 = 48000 * 2
+    audio = (0.1 * rng.standard_normal((2, 1, S48))).astype(np.float32)
+    lengths48 = np.array([S48, S48 // 2])
+
+    out = np.asarray(ppgs_tpu.from_audio(
+        audio, 48000, checkpoint=path, lengths=lengths48))
+    # 2 s @48k -> 2 s @16k -> 200 frames
+    assert out.shape == (2, 40, 200)
+    # Row 1 valid for ~100 frames; past it the masked uniform appears
+    np.testing.assert_allclose(out[1, :, :99].sum(0), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(out[1, :, 105:], 1.0 / 40, rtol=1e-3)

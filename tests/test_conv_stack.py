@@ -75,3 +75,21 @@ def test_geometry_helpers():
     # out_frames inverts the chain
     n = conv_stack.out_frames(64 * 4 + 15, kernel[1:], stride[1:])
     assert n == 4
+
+
+def test_conv_tap_groups_layout():
+    """Tap groups stack stride-consecutive taps for the lane-folded
+    matmul formulation."""
+    import jax.numpy as jnp
+
+    k, s, c_in, c_out = 3, 2, 4, 8
+    w = jnp.arange(k * c_in * c_out, dtype=jnp.float32).reshape(
+        k, c_in, c_out)
+    groups = conv_stack.conv_tap_groups(w, s, jnp.float32)
+    assert len(groups) == 2                       # ceil(3/2)
+    assert groups[0].shape == (2 * c_in, c_out)   # taps 0,1
+    assert groups[1].shape == (1 * c_in, c_out)   # tap 2
+    np.testing.assert_array_equal(
+        np.asarray(groups[0]), np.asarray(w).reshape(-1, c_out)[:2 * c_in])
+    np.testing.assert_array_equal(
+        np.asarray(groups[1]), np.asarray(w[2]))

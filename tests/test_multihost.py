@@ -253,3 +253,10 @@ def test_multihost_orbax_interrupt_coordinated_save(tmp_path):
     steps = {r['latest_step'] for r in results}
     assert len(steps) == 1 and None not in steps
     assert (run_dir / str(results[0]['latest_step'])).exists()
+
+
+def test_any_process_single_process():
+    from ppgs_tpu.parallel import multihost
+
+    assert multihost.any_process(True) is True
+    assert multihost.any_process(False) is False
