@@ -289,8 +289,9 @@ def main():
                 'error': f'{type(error).__name__}: {error}'})
 
     # --- training throughput (round-4 metric) ------------------------------
-    # Full jitted train step (forward + masked CE + backward + grad stats +
-    # Adam, attention via the custom_vjp flash kernel) at the reference's
+    # Full jitted train step (forward + masked CE + backward + Adam,
+    # attention/FFN via the custom_vjp kernels; the common no-stats step —
+    # gradient statistics run only on logging steps) at the reference's
     # MAX_TRAINING_FRAMES scale. Same chained-slope methodology; the
     # carried train state forces sequential execution.
     elapsed = time.time() - t_start

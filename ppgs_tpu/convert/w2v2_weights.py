@@ -36,6 +36,15 @@ def w2v2_params_from_state_dict(sd: Dict[str, np.ndarray],
         'projection': _linear(sd, 'feature_projection.projection'),
     }
 
+    # Spec-augment fill vector (train-mode only; some exported state dicts
+    # omit it — fall back to the HF init distribution's mean)
+    if 'masked_spec_embed' in sd:
+        params['masked_spec_embed'] = sd['masked_spec_embed']
+    else:
+        hidden = sd['feature_projection.projection.weight'].shape[0]
+        params['masked_spec_embed'] = np.full((hidden,), 0.5,
+                                              dtype=np.float32)
+
     # Positional conv with weight norm (dim=2)
     base = 'encoder.pos_conv_embed.conv'
     if f'{base}.parametrizations.weight.original0' in sd:
@@ -90,3 +99,33 @@ def w2v2_params_from_pretrained(name='facebook/wav2vec2-base'):
     model = transformers.Wav2Vec2Model.from_pretrained(name)
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     return w2v2_params_from_state_dict(sd)
+
+
+def w2v2_config_from_hf(hf_config, **overrides):
+    """Build a models.w2v2.W2V2Config from a transformers Wav2Vec2Config so
+    the hub checkpoint's train-mode hyperparameters (dropouts, LayerDrop,
+    spec-augment) override our local transformers defaults."""
+    from ..models.w2v2 import W2V2Config
+
+    return W2V2Config(
+        conv_dim=tuple(hf_config.conv_dim),
+        conv_kernel=tuple(hf_config.conv_kernel),
+        conv_stride=tuple(hf_config.conv_stride),
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=(
+            hf_config.num_conv_pos_embedding_groups),
+        layer_norm_eps=hf_config.layer_norm_eps,
+        hidden_dropout=hf_config.hidden_dropout,
+        activation_dropout=hf_config.activation_dropout,
+        attention_dropout=hf_config.attention_dropout,
+        feat_proj_dropout=hf_config.feat_proj_dropout,
+        layerdrop=hf_config.layerdrop,
+        apply_spec_augment=hf_config.apply_spec_augment,
+        mask_time_prob=hf_config.mask_time_prob,
+        mask_time_length=hf_config.mask_time_length,
+        mask_time_min_masks=getattr(hf_config, 'mask_time_min_masks', 2),
+        **overrides)

@@ -42,6 +42,22 @@ class W2V2Config:
     layer_norm_eps: float = 1e-5
     compute_dtype: str = 'float32'
 
+    # Train-mode regularization (transformers Wav2Vec2Config defaults —
+    # verifiable against the installed transformers; when converting hub
+    # weights with network access, override from the hub config via
+    # convert/w2v2_weights.w2v2_config_from_hf). The reference trains the
+    # w2v2ft config with the HF model in .train() mode, so all of these
+    # are active there (ppgs/model/w2v2.py:22-29, ppgs/train/core.py:121).
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.0
+    layerdrop: float = 0.1
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
+
     def with_final_stride(self, stride: int) -> 'W2V2Config':
         """The reference's 100 Hz variant: last conv stride 2 -> stride
         (ppgs/model/w2v2.py:26)."""
@@ -90,6 +106,8 @@ def init(rng, config: W2V2Config = BASE):
         'projection': {'weight': normal((config.conv_dim[-1], d)),
                        'bias': jnp.zeros((d,))},
     }
+    # Learned spec-augment fill vector (transformers: uniform [0, 1))
+    params['masked_spec_embed'] = jax.random.uniform(next(keys), (d,))
     params['encoder'] = {
         'pos_conv': {
             'weight': normal((config.num_conv_pos_embeddings,
@@ -243,6 +261,44 @@ def _pos_conv(x, p, config: W2V2Config, precision=None):
     return _gelu(out)
 
 
+def _dropout(x, rng, rate):
+    if rng is None or rate <= 0:
+        return x
+    keep = jax.random.bernoulli(rng, 1 - rate, x.shape)
+    return jnp.where(keep, x / (1 - rate), jnp.zeros((), x.dtype))
+
+
+def _spec_augment(hidden, valid_mask, rng, embed, config: 'W2V2Config'):
+    """HF-style time masking (transformers Wav2Vec2Model._mask_hidden_states):
+    sample span starts per batch row, overwrite each mask_time_length-frame
+    span with the learned masked_spec_embed vector.
+
+    Static-shape JAX formulation: the span count is derived from the padded
+    T (num = max(min_masks, round(prob * T / length))), starts are sampled
+    over the valid region per row, and the span union is a broadcast
+    compare — no host-side numpy like HF's _compute_mask_indices, same
+    masking statistics.
+    """
+    B, T, C = hidden.shape
+    length = config.mask_time_length
+    num = max(config.mask_time_min_masks,
+              int(config.mask_time_prob * T / length + 0.5))
+    if T <= length:
+        return hidden
+    lengths = (valid_mask.sum(-1) if valid_mask is not None
+               else jnp.full((B,), T))
+    # Start range per row: [0, valid_len - length] (HF samples within the
+    # unpadded region)
+    hi = jnp.maximum(lengths - length, 1)[:, None]          # (B, 1)
+    u = jax.random.uniform(rng, (B, num))
+    starts = (u * hi).astype(jnp.int32)                     # (B, num)
+    t = jnp.arange(T)[None, None, :]
+    spans = (t >= starts[..., None]) & (t < starts[..., None] + length)
+    time_mask = spans.any(axis=1)                           # (B, T)
+    return jnp.where(time_mask[..., None],
+                     embed.astype(hidden.dtype), hidden)
+
+
 def _use_flash(d_head: int, heads: int, t: int) -> bool:
     """Pallas fused-attention eligibility for wav2vec2's 64-wide heads
     (two heads pack per 128-lane block; see ops/flash_attention.py)."""
@@ -258,7 +314,8 @@ def _use_flash(d_head: int, heads: int, t: int) -> bool:
             and 128 % d_head == 0 and heads % (128 // d_head) == 0)
 
 
-def _attention(x, p, mask, heads, compute_dtype, precision):
+def _attention(x, p, mask, heads, compute_dtype, precision,
+               dropout_rng=None, dropout=0.0):
     B, T, C = x.shape
     d_head = C // heads
     xc = x.astype(compute_dtype)
@@ -269,7 +326,8 @@ def _attention(x, p, mask, heads, compute_dtype, precision):
     # Pallas fused path (bf16 inference on TPU): softmax stays in VMEM —
     # the (B, H, T, T) fp32 logits tensor (~1 GB/layer at the w2v2fb bench
     # workload) never round-trips HBM, and no head transposes materialize
-    if compute_dtype == jnp.bfloat16 and _use_flash(d_head, heads, T):
+    if (dropout_rng is None and compute_dtype == jnp.bfloat16
+            and _use_flash(d_head, heads, T)):
         from ..ops import flash_attention as fa
 
         key_mask = (mask > 0 if mask is not None
@@ -302,6 +360,10 @@ def _attention(x, p, mask, heads, compute_dtype, precision):
         unnorm = jnp.where(mask[:, None, None, :], unnorm, 0.0)
     attn = unnorm / jnp.maximum(unnorm.sum(-1, keepdims=True), 1e-30)
 
+    # Attention-probability dropout (transformers Wav2Vec2Attention,
+    # attention_dropout; active only on the train path)
+    attn = _dropout(attn, dropout_rng, dropout)
+
     out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(compute_dtype), v,
                      precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
@@ -310,17 +372,25 @@ def _attention(x, p, mask, heads, compute_dtype, precision):
 
 
 def encoder(params, hidden, attention_mask=None,
-            config: W2V2Config = BASE, precision=None):
+            config: W2V2Config = BASE, precision=None, rngs=None):
     """Transformer encoder on (B, T, C) features (post-LN variant).
 
     The residual stream is STORED in the compute dtype (bf16 in production)
     — at (B, T, 768) every fp32 elementwise pass (25 LayerNorms, residual
     adds; measured 0.44 ms each at the bench workload) is pure HBM traffic,
     and LayerNorm statistics stay fp32 inside _layer_norm. The fp32 config
-    path is unchanged (strict parity vs HF torch)."""
+    path is unchanged (strict parity vs HF torch).
+
+    ``rngs``: train-mode per-layer RNG list from ``_encoder_rngs`` (None =
+    inference). Train mode reproduces transformers' Wav2Vec2Encoder:
+    dropout after the positional conv + LayerNorm (hidden_dropout),
+    per-layer LayerDrop, attention-probability dropout, hidden_dropout on
+    the attention output, activation_dropout after GELU, and
+    hidden_dropout after the FFN output dense."""
     compute_dtype = jnp.dtype(config.compute_dtype)
     p = params['encoder']
     hidden = hidden.astype(compute_dtype)
+    train = rngs is not None
 
     if attention_mask is not None:
         hidden = hidden * attention_mask[..., None].astype(compute_dtype)
@@ -328,17 +398,21 @@ def encoder(params, hidden, attention_mask=None,
     hidden = hidden + _pos_conv(
         hidden, p['pos_conv'], config, precision).astype(compute_dtype)
     hidden = _layer_norm(hidden, p['norm'], config.layer_norm_eps)
+    if train:
+        hidden = _dropout(hidden, rngs[0], config.hidden_dropout)
 
-    # Whole-layer Pallas path (TPU, bf16): each encoder layer runs as ONE
-    # kernel (ops/encoder_layer_kernel.py, activation='gelu') — QKV,
-    # 12x64 packed-head attention, out-proj, FFN and both LayerNorms stay
-    # in VMEM per window block. One call per layer: a layer's weights
-    # (~14 MB) stay VMEM-resident, the full 12-layer set would not.
+    # Whole-layer Pallas path (TPU, bf16, inference only): each encoder
+    # layer runs as ONE kernel (ops/encoder_layer_kernel.py,
+    # activation='gelu') — QKV, 12x64 packed-head attention, out-proj, FFN
+    # and both LayerNorms stay in VMEM per window block. One call per
+    # layer: a layer's weights (~14 MB) stay VMEM-resident, the full
+    # 12-layer set would not.
     import os
 
     B, T, C = hidden.shape
     d_head = C // config.num_heads
-    if (os.environ.get('PPGS_TPU_W2V2_LAYER_KERNEL', '1') != '0'
+    if (not train
+            and os.environ.get('PPGS_TPU_W2V2_LAYER_KERNEL', '1') != '0'
             and compute_dtype == jnp.bfloat16
             and _use_flash(d_head, config.num_heads, T)):
         from ..ops import encoder_layer_kernel as elk
@@ -355,23 +429,47 @@ def encoder(params, hidden, attention_mask=None,
                 compute_dtype=compute_dtype, activation='gelu')
         return hidden[:, :T]
 
-    for layer in p['layers']:
-        attn_out = _attention(hidden, layer['attn'], attention_mask,
-                              config.num_heads, compute_dtype, precision)
-        hidden = _layer_norm(hidden + attn_out, layer['norm1'],
-                             config.layer_norm_eps)
-        hc = hidden.astype(compute_dtype)
+    for i, layer in enumerate(p['layers']):
+        lr = rngs[1 + 5 * i: 1 + 5 * (i + 1)] if train else [None] * 5
+        attn_out = _attention(
+            hidden, layer['attn'], attention_mask, config.num_heads,
+            compute_dtype, precision, dropout_rng=lr[0],
+            dropout=config.attention_dropout if train else 0.0)
+        if train:
+            attn_out = _dropout(attn_out, lr[1], config.hidden_dropout)
+        attn_res = _layer_norm(hidden + attn_out, layer['norm1'],
+                               config.layer_norm_eps)
+        hc = attn_res.astype(compute_dtype)
         ff = _gelu(hc @ layer['ffn']['w1'].astype(compute_dtype)
                    + layer['ffn']['b1'].astype(compute_dtype))
+        if train:
+            ff = _dropout(ff, lr[2], config.activation_dropout)
         ff = (ff @ layer['ffn']['w2'].astype(compute_dtype)
-              + layer['ffn']['b2'].astype(compute_dtype)).astype(hidden.dtype)
-        hidden = _layer_norm(hidden + ff, layer['norm2'],
-                             config.layer_norm_eps)
+              + layer['ffn']['b2'].astype(compute_dtype)).astype(
+                  attn_res.dtype)
+        if train:
+            ff = _dropout(ff, lr[3], config.hidden_dropout)
+        out = _layer_norm(attn_res + ff, layer['norm2'],
+                          config.layer_norm_eps)
+        if train and config.layerdrop > 0:
+            # LayerDrop (transformers Wav2Vec2Encoder): one global draw
+            # per layer skips the whole block for the step
+            keep = jax.random.uniform(lr[4], ()) >= config.layerdrop
+            out = jnp.where(keep, out, hidden)
+        hidden = out
     return hidden
 
 
+def _encoder_rngs(rng, config: W2V2Config):
+    """Split a step rng into the encoder's dropout streams (1 post-pos-conv
+    site + 5 per layer: attention probs, attention output, activation,
+    FFN output, LayerDrop)."""
+    return list(jax.random.split(rng, 1 + 5 * config.num_layers))
+
+
 def forward(params, audio, lengths=None, config: W2V2Config = BASE,
-            precision=None, mask_config: Optional[W2V2Config] = None):
+            precision=None, mask_config: Optional[W2V2Config] = None,
+            train=False, rng=None):
     """Full wav2vec2: (B, S) audio -> (B, T', hidden) last hidden state.
 
     ``lengths``: valid sample counts; converted to a feature-level attention
@@ -383,8 +481,22 @@ def forward(params, audio, lengths=None, config: W2V2Config = BASE,
     derives the mask from the *original* config strides — masking off the
     second half of the frames. That trained-in behavior must be reproduced
     for checkpoint parity.
+
+    ``train``/``rng``: train mode matches the reference's HF model in
+    .train() with freeze_feature_extractor() (ppgs/model/w2v2.py:29):
+    the conv feature encoder is ALWAYS under stop_gradient (frozen at
+    construction, not per-mode), and train mode adds feat_proj dropout,
+    spec-augment time masking, and the encoder dropout/LayerDrop sites.
     """
     features = feature_encoder(params, audio, config, precision)
+    # freeze_feature_extractor parity: no gradient ever reaches the conv
+    # stack (a stop on its output is equivalent to requires_grad=False on
+    # its weights — no other computation consumes them)
+    features = jax.lax.stop_gradient(features)
+
+    train = train and rng is not None
+    if train:
+        rng_proj, rng_spec, rng_enc = jax.random.split(rng, 3)
 
     compute_dtype = jnp.dtype(config.compute_dtype)
     fp = params['feature_projection']
@@ -392,6 +504,8 @@ def forward(params, audio, lengths=None, config: W2V2Config = BASE,
     hidden = (hidden.astype(compute_dtype)
               @ fp['projection']['weight'].astype(compute_dtype)
               + fp['projection']['bias'].astype(compute_dtype))
+    if train:
+        hidden = _dropout(hidden, rng_proj, config.feat_proj_dropout)
 
     mask = None
     if lengths is not None:
@@ -400,4 +514,9 @@ def forward(params, audio, lengths=None, config: W2V2Config = BASE,
         mask = (jnp.arange(features.shape[1])[None, :]
                 < out_lengths[:, None])
 
-    return encoder(params, hidden, mask, config, precision)
+    if train and config.apply_spec_augment and config.mask_time_prob > 0:
+        hidden = _spec_augment(hidden, mask, rng_spec,
+                               params['masked_spec_embed'], config)
+
+    rngs = _encoder_rngs(rng_enc, config) if train else None
+    return encoder(params, hidden, mask, config, precision, rngs=rngs)

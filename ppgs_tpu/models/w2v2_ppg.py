@@ -55,8 +55,13 @@ def init(rng, config: Config):
 
 def forward(params, features, lengths, config: Config, train=False,
             rng=None, precision=None):
-    """(B, 1, S) raw audio + sample lengths -> (B, 40, T) logits @100 Hz."""
-    del train, rng  # spec-augment/dropout not used at the reference's infer
+    """(B, 1, S) raw audio + sample lengths -> (B, 40, T) logits @100 Hz.
+
+    Train mode is reference-faithful to the HF model in .train() with
+    freeze_feature_extractor() (ppgs/model/w2v2.py:29, ppgs/train/core.py
+    :121): the conv feature encoder is frozen (stop_gradient), and
+    dropout/spec-augment/LayerDrop run inside w2v2.forward.
+    """
     wcfg = w2v2_100hz_config(config.compute_dtype)
     audio = jnp.pad(features, ((0, 0), (0, 0), (PADDING, PADDING)))
     audio = audio.squeeze(1)
@@ -65,7 +70,8 @@ def forward(params, features, lengths, config: Config, train=False,
     sample_lengths = lengths + 2 * PADDING
     hidden = w2v2.forward(params['w2v2'], audio, sample_lengths, wcfg,
                           precision,
-                          mask_config=_mask_config(wcfg))  # (B, T', 768)
+                          mask_config=_mask_config(wcfg),
+                          train=train, rng=rng)          # (B, T', 768)
     logits = conv1d_same(hidden, params['head']['weight'],
                          params['head']['bias'], precision)
     return logits.transpose(0, 2, 1)

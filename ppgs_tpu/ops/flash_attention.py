@@ -402,6 +402,14 @@ def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
             jax.ShapeDtypeStruct((B, T, C), q.dtype),
             jax.ShapeDtypeStruct((B, num_heads, 1, T), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # The (T, T) fp32 logit/probability slabs exceed the default
+            # 16 MB scoped-vmem cap above T=512
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * T * T * D,
+            bytes_accessed=4 * B * T * C * 2,
+            transcendentals=B * num_heads * T * T),
         interpret=interpret,
     )(seed_i, mask_i, q, k, v)
     return o, (q, k, v, mask_i, seed_i, o, lse)
@@ -439,6 +447,15 @@ def _train_bwd_rule(num_heads, dropout_rate, interpret, residuals, do):
                           interpret=interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, T, C), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            # ~6 live (T, T) fp32 slabs (recomputed scores, probabilities,
+            # dropout variants, g, ds): ~24 MB at T=1024 — well over the
+            # default 16 MB scoped-vmem cap
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * T * T * D,
+            bytes_accessed=8 * B * T * C * 2,
+            transcendentals=B * num_heads * T * T),
         interpret=interpret,
     )(seed_i, mask_i, q, k, v, o, lse, do)
 

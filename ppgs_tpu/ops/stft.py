@@ -295,11 +295,12 @@ def log_mel_spectrogram(audio, sample_rate=16000, num_fft=1024, hopsize=160,
     """Log-mel spectrogram of (B, 1, S) audio -> (B, num_mels, T).
 
     Mel projection + dynamic range compression log(clamp(mel, 1e-5)) as in the
-    reference (ppgs/preprocess/mel.py:56-76). With precision='default' on a
-    TPU backend the whole frontend runs as one fused Pallas kernel (bf16
-    matmul operands, fp32 accumulation/statistics — the production
-    compute-dtype path); other precisions keep the XLA formulation (fp32
-    strict parity).
+    reference (ppgs/preprocess/mel.py:56-76). precision='default' (the
+    production compute-dtype path) runs the XLA formulation with bf16
+    matmul operands on TPU; other precisions keep fp32 strict parity. The
+    fused Pallas frontend is opt-in via PPGS_TPU_FUSED_MEL=1 — it measured
+    slower than the XLA strided-conv DFT and is kept as a documented
+    negative result (PERF.md).
     """
     if precision == 'default' and _use_fused_mel():
         blocks, T = _audio_to_blocks(

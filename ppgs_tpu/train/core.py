@@ -72,6 +72,11 @@ def make_optimizer(config):
     return optax.adam(config.learning_rate)
 
 
+# Steps between cross-process preemption-flag polls (a blocking host
+# collective; see the train loop). ~2-4 s of steps at bench step times.
+STOP_POLL_INTERVAL = 25
+
+
 def gradient_stats(grads):
     """L2 norm / max / min over the full gradient pytree
     (replaces torchutil.gradients.stats)."""
@@ -82,6 +87,18 @@ def gradient_stats(grads):
     return {'gradients/norm': jnp.sqrt(sq),
             'gradients/max': gmax,
             'gradients/min': gmin}
+
+
+def _grad_l2_norm(grads):
+    leaves = jax.tree.leaves(grads)
+    return jnp.sqrt(sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+
+
+def _grad_max_abs(grads):
+    leaves = jax.tree.leaves(grads)
+    return jnp.max(jnp.stack(
+        [jnp.max(jnp.abs(g.astype(jnp.float32))) for g in leaves]))
 
 
 def make_train_step(config, optimizer, class_weights=None, mesh=None):
@@ -104,7 +121,8 @@ def make_train_step(config, optimizer, class_weights=None, mesh=None):
     clip_l2 = config.gradient_clip_threshold_l2
     clip_inf = config.gradient_clip_threshold_inf
 
-    def step_fn(params, opt_state, features, targets, lengths, rng):
+    def step_fn(params, opt_state, features, targets, lengths, rng,
+                with_stats=False):
         if codebook_frontend is not None:
             features = codebook_frontend(features)
 
@@ -119,16 +137,28 @@ def make_train_step(config, optimizer, class_weights=None, mesh=None):
             return loss(logits, targets, config, class_weights)
 
         train_loss, grads = jax.value_and_grad(loss_fn)(params)
-        stats = gradient_stats(grads)
+
+        # Full gradient statistics only on logging steps (with_stats is a
+        # static argument — the common step compiles without the tree-wide
+        # max/min/norm reductions; the reference computes them EVERY step,
+        # ppgs/train/core.py:141-145, but only tensorboard consumes them).
+        # Clipping reuses the logged norm when available and otherwise
+        # computes just the reduction it needs.
+        stats = gradient_stats(grads) if with_stats else {}
 
         # Conditional clipping matching the reference's threshold semantics:
         # only rescale when the measured norm exceeds the threshold
         if clip_l2 is not None:
-            scale = jnp.minimum(1.0, clip_l2 / (stats['gradients/norm'] + 1e-12))
+            norm = (stats['gradients/norm'] if with_stats
+                    else _grad_l2_norm(grads))
+            scale = jnp.minimum(1.0, clip_l2 / (norm + 1e-12))
             grads = jax.tree.map(lambda g: g * scale, grads)
         if clip_inf is not None:
-            max_abs = jnp.maximum(jnp.abs(stats['gradients/max']),
-                                  jnp.abs(stats['gradients/min']))
+            if with_stats:
+                max_abs = jnp.maximum(jnp.abs(stats['gradients/max']),
+                                      jnp.abs(stats['gradients/min']))
+            else:
+                max_abs = _grad_max_abs(grads)
             scale = jnp.minimum(1.0, clip_inf / (max_abs + 1e-12))
             grads = jax.tree.map(lambda g: g * scale, grads)
 
@@ -136,7 +166,8 @@ def make_train_step(config, optimizer, class_weights=None, mesh=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, train_loss, stats
 
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    return jax.jit(step_fn, donate_argnums=(0, 1),
+                   static_argnames=('with_stats',))
 
 
 ###############################################################################
@@ -412,11 +443,14 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
                     multihost.shard_global_batch(
                         mesh, multihost.local_slice(batch)))
                 rng, step_rng = jax.random.split(rng)
+                # Stats schedule must be a pure function of `step` (NOT of
+                # writer/primary-ness) so every process runs one program
+                log_step = step % 100 == 0
                 params, opt_state, train_loss, stats = step_fn(
                     params, opt_state, features_d, targets_d, lengths_d,
-                    step_rng)
+                    step_rng, with_stats=log_step)
 
-                if step % 100 == 0 and writer is not None:
+                if log_step and writer is not None:
                     scalars = {'train/loss': float(train_loss)}
                     scalars.update(
                         {k: float(v) for k, v in stats.items()})
@@ -435,8 +469,13 @@ def train(dataset, directory=None, config=None, mesh=None, max_steps=None,
                                      opt_state, backend)
 
                 step += 1
-                if coordinated_stop and multihost.any_process(
-                        stop_requested[0]):
+                # Poll the cross-process OR every few steps, not every step:
+                # any_process is a blocking host-synchronous allgather that
+                # serializes dispatch, and preemption notice windows are tens
+                # of seconds. The poll schedule must be a pure function of
+                # `step` so every process joins the collective together.
+                if (coordinated_stop and step % STOP_POLL_INTERVAL == 0
+                        and multihost.any_process(stop_requested[0])):
                     raise KeyboardInterrupt('coordinated multi-host stop')
                 if step >= steps:
                     break

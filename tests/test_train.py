@@ -75,13 +75,18 @@ def test_train_step_decreases_loss():
     losses = []
     for i in range(12):
         rng, step_rng = jax.random.split(rng)
+        # Alternate the two compiled variants: common steps (no stats) and
+        # logging steps (full gradient statistics)
         params, opt_state, train_loss, stats = step_fn(
             params, opt_state, jnp.asarray(features), jnp.asarray(targets),
-            jnp.asarray(lengths), step_rng)
+            jnp.asarray(lengths), step_rng, with_stats=i % 2 == 0)
         losses.append(float(train_loss))
+        if i % 2 == 0:
+            assert float(stats['gradients/norm']) > 0
+        else:
+            assert stats == {}
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
-    assert float(stats['gradients/norm']) > 0
 
 
 def test_train_step_sharded_matches_single_device():

@@ -125,6 +125,136 @@ def test_w2v2fc_permutation(small, monkeypatch):
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
 
+###############################################################################
+# Train-mode semantics (reference: HF model in .train() with
+# freeze_feature_extractor(), ppgs/model/w2v2.py:29)
+###############################################################################
+
+
+def _tiny_train_setup(small, monkeypatch):
+    import jax
+
+    _, trunk, jcfg = small
+    monkeypatch.setattr(w2v2_ppg, 'w2v2_100hz_config', lambda *a, **k: jcfg)
+    config = ppgs_tpu.Config(model='Wav2Vec2.0', compute_dtype='float32')
+    head = w2v2_ppg._conv_init(jax.random.PRNGKey(9), config.kernel_size,
+                               jcfg.hidden_size, config.output_channels)
+    params = {'w2v2': trunk, 'head': head}
+    rng = np.random.default_rng(3)
+    S = 3200
+    audio = (0.1 * rng.standard_normal((2, 1, S))).astype(np.float32)
+    lengths = jnp.asarray([S, 2400])
+    return config, params, jnp.asarray(audio), lengths
+
+
+def test_w2v2_feature_extractor_frozen(small, monkeypatch):
+    """Gradients of the train loss wrt the conv feature extractor are
+    EXACTLY zero (freeze_feature_extractor parity), while encoder and head
+    gradients are nonzero."""
+    import jax
+
+    from ppgs_tpu.train import core as train_core
+
+    config, params, audio, lengths = _tiny_train_setup(small, monkeypatch)
+
+    T_out = w2v2_ppg.forward(params, audio, lengths, config).shape[-1]
+    targets = jnp.asarray(
+        np.random.default_rng(0).integers(0, 40, (2, T_out)))
+
+    def loss_fn(p):
+        logits = w2v2_ppg.forward(p, audio, lengths, config, train=True,
+                                  rng=jax.random.PRNGKey(0))
+        return train_core.loss(logits, targets, config)
+
+    grads = jax.grad(loss_fn)(params)
+    for layer in grads['w2v2']['feature_encoder']:
+        for leaf in jax.tree.leaves(layer):
+            assert float(jnp.abs(leaf).max()) == 0.0
+    enc_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(
+        grads['w2v2']['encoder']))
+    head_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(
+        grads['head']))
+    assert enc_norm > 0 and head_norm > 0
+
+
+def test_w2v2_train_mode_stochastic_and_eval_deterministic(
+        small, monkeypatch):
+    """train=True with different rngs changes outputs (dropout/spec-augment
+    /LayerDrop active); train=False ignores the rng entirely."""
+    import jax
+
+    config, params, audio, lengths = _tiny_train_setup(small, monkeypatch)
+
+    t1 = w2v2_ppg.forward(params, audio, lengths, config, train=True,
+                          rng=jax.random.PRNGKey(0))
+    t2 = w2v2_ppg.forward(params, audio, lengths, config, train=True,
+                          rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+    e1 = w2v2_ppg.forward(params, audio, lengths, config)
+    e2 = w2v2_ppg.forward(params, audio, lengths, config, train=True,
+                          rng=None)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_w2v2_train_zero_rates_matches_eval(small, monkeypatch):
+    """With every regularizer disabled, the train path reproduces the eval
+    path exactly (the train graph adds no numerics of its own)."""
+    import dataclasses
+
+    import jax
+
+    _, trunk, jcfg = small
+    jcfg0 = dataclasses.replace(
+        jcfg, hidden_dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+        apply_spec_augment=False)
+    monkeypatch.setattr(w2v2_ppg, 'w2v2_100hz_config', lambda *a, **k: jcfg0)
+    config = ppgs_tpu.Config(model='Wav2Vec2.0', compute_dtype='float32')
+    head = w2v2_ppg._conv_init(jax.random.PRNGKey(9), config.kernel_size,
+                               jcfg.hidden_size, config.output_channels)
+    params = {'w2v2': trunk, 'head': head}
+    audio = jnp.asarray(
+        (0.1 * np.random.default_rng(4).standard_normal(
+            (1, 1, 1600))).astype(np.float32))
+    lengths = jnp.asarray([1600])
+
+    train_out = w2v2_ppg.forward(params, audio, lengths, config,
+                                 train=True, rng=jax.random.PRNGKey(0))
+    eval_out = w2v2_ppg.forward(params, audio, lengths, config)
+    np.testing.assert_allclose(np.asarray(train_out), np.asarray(eval_out),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_w2v2_spec_augment_masks_spans(small, monkeypatch):
+    """Spec-augment replaces masked frames with the learned embed vector:
+    force prob high and check some (but not all) frames change."""
+    import dataclasses
+
+    import jax
+
+    _, trunk, jcfg = small
+    jcfg_sa = dataclasses.replace(
+        jcfg, hidden_dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+        apply_spec_augment=True, mask_time_prob=0.5, mask_time_length=4,
+        mask_time_min_masks=2)
+
+    rng = np.random.default_rng(5)
+    hidden = jnp.asarray(rng.standard_normal((2, 40, 48)).astype(np.float32))
+    embed = jnp.asarray(rng.standard_normal(48).astype(np.float32))
+    masked = w2v2._spec_augment(
+        hidden, None, jax.random.PRNGKey(0), embed, jcfg_sa)
+    is_embed = np.all(np.isclose(np.asarray(masked), np.asarray(embed)),
+                      axis=-1)
+    changed = is_embed.sum()
+    assert 0 < changed < is_embed.size
+    # Unmasked frames untouched
+    untouched = ~is_embed
+    np.testing.assert_array_equal(
+        np.asarray(masked)[untouched], np.asarray(hidden)[untouched])
+
+
 def test_factory_dispatch():
     from ppgs_tpu import models
 
