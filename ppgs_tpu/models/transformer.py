@@ -40,6 +40,33 @@ def _on_tpu() -> bool:
         return False
 
 
+# Train-mode attention kernel cap: the whole-sequence custom_vjp kernel
+# holds (T, T) fp32 score slabs in VMEM (~24 MB at T=1024 in the backward,
+# under its 64 MB scoped-vmem cap). Above this, training falls back to the
+# XLA attention — deliberate and warned (see _warn_train_fallback); padded
+# training batches should keep T <= this bound (the reference's own
+# training data is 500-frame-chunk scale).
+TRAIN_KERNEL_MAX_T = 1024
+
+
+def _warn_train_fallback(t: int):
+    """One-time warning when a train step exceeds the kernel's T cap."""
+    import warnings
+
+    if t in _warn_train_fallback.seen:
+        return
+    _warn_train_fallback.seen.add(t)
+    warnings.warn(
+        f'train-mode attention at T={t} exceeds the Pallas kernel cap '
+        f'(TRAIN_KERNEL_MAX_T={TRAIN_KERNEL_MAX_T}); falling back to the '
+        'XLA attention, which materializes the (B, H, T, T) probability '
+        'tensor in HBM. Consider smaller padded lengths (frame-budget '
+        'bucketing) for training batches.')
+
+
+_warn_train_fallback.seen = set()
+
+
 def _use_flash(d_head: int) -> bool:
     """Flash kernel eligibility: TPU backend + MXU-aligned head dim."""
     import os
@@ -178,11 +205,11 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
     k = (xc @ p['wk'].astype(compute_dtype)) + p['bk'].astype(compute_dtype)
     v = (xc @ p['wv'].astype(compute_dtype)) + p['bv'].astype(compute_dtype)
 
-    # Pallas fused-attention fast path (non-causal, TPU, bf16): runs
-    # directly on the (B, T, C) layout — no head transposes materialize.
-    # Only on the bf16 compute path: fp32 configs keep XLA's precise
-    # attention for strict reference parity.
-    if (dropout_rng is None and not causal
+    # Pallas fused-attention fast path (TPU, bf16; causal via an in-kernel
+    # iota triangle): runs directly on the (B, T, C) layout — no head
+    # transposes materialize. Only on the bf16 compute path: fp32 configs
+    # keep XLA's precise attention for strict reference parity.
+    if (dropout_rng is None
             and compute_dtype == jnp.bfloat16 and _use_flash(d_head)):
         from ..ops import flash_attention as fa
 
@@ -194,7 +221,8 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
             maskp = jnp.pad(key_mask, ((0, 0), (0, pad_t - T)))
         else:
             qp, kp, vp, maskp = q, k, v, key_mask
-        out = fa.flash_attention(qp, kp, vp, maskp, heads)[:, :T]
+        out = fa.flash_attention(qp, kp, vp, maskp, heads,
+                                 causal=causal)[:, :T]
         out = (out.astype(compute_dtype) @ p['wo'].astype(compute_dtype)
                + p['bo'].astype(compute_dtype))
         return out.astype(x.dtype)
@@ -205,7 +233,7 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
     # never materializes in either direction. The dropout stream is the
     # TPU hardware PRNG, deterministic per (rng, batch, head); it differs
     # from the XLA path's jax.random stream (both are valid dropout).
-    if (dropout_rng is not None and not causal and T <= 1024
+    if (dropout_rng is not None and T <= TRAIN_KERNEL_MAX_T
             and compute_dtype == jnp.bfloat16 and _use_flash(d_head)):
         from ..ops import flash_attention as fa
 
@@ -219,13 +247,16 @@ def _attention(x, p, key_mask, causal, heads, dropout_rng, dropout,
         seed = jax.random.key_data(dropout_rng).ravel()[0].astype(jnp.int32)
         out = fa.flash_attention_train(
             qp, kp, vp, maskp, heads, dropout_rate=float(dropout),
-            seed=seed)[:, :T]
+            seed=seed, causal=causal)[:, :T]
         out = (out.astype(compute_dtype) @ p['wo'].astype(compute_dtype)
                + p['bo'].astype(compute_dtype))
         return out.astype(x.dtype)
 
     # XLA path: einsums over the free (B, T, H, D) reshape — XLA folds the
     # head dimension handling into the dot_generals
+    if (dropout_rng is not None and T > TRAIN_KERNEL_MAX_T
+            and compute_dtype == jnp.bfloat16 and _use_flash(d_head)):
+        _warn_train_fallback(T)
     q4 = q.reshape(B, T, heads, d_head)
     k4 = k.reshape(B, T, heads, d_head)
     v4 = v.reshape(B, T, heads, d_head)
@@ -391,7 +422,7 @@ def forward(
     # are sliced off after the stack, so valid positions are untouched;
     # hoisting removes 4 pads x num_layers of HBM traffic).
     d_head = config.hidden_channels // config.attention_heads
-    flash = (rngs[0] is None and not config.is_causal
+    flash = (rngs[0] is None
              and compute_dtype == jnp.bfloat16 and _use_flash(d_head))
     stack_mask = mask
     if flash:
@@ -411,7 +442,7 @@ def forward(
     if whole_layer:
         x = _elk().encoder_stack(
             x, stack_mask, params['layers'], config.attention_heads,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, causal=config.is_causal)
     else:
         layer_fn = _encoder_layer
         if train and config.remat:

@@ -154,7 +154,7 @@ def _stack_kernel(x_ref, mask_ref,
                   wo_ref, bo_ref, g1_ref, be1_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
                   o_ref, *, num_layers, heads, compute_dtype,
-                  block_b, seq_len, activation='relu'):
+                  block_b, seq_len, activation='relu', causal=False):
     # block_b windows per grid step, flattened to one (block_b*T, C) slab so
     # the QKV/out-proj/FFN matmuls run at M = block_b*T (better MXU
     # utilization than per-window M=T); the attention score/value matmuls
@@ -164,6 +164,15 @@ def _stack_kernel(x_ref, mask_ref,
     x32 = x_ref[...].reshape(block_b * T, C).astype(jnp.float32)
     key_valid = mask_ref[...] > 0                        # (bb, 1, T)
     mask_cd = mask_ref[...].astype(compute_dtype)
+    if causal:
+        # Lower-triangular iota mask folded into both mask forms once per
+        # block (reference IS_CAUSAL, config/causal_transformer.py:16):
+        # the per-head softmax then runs unchanged at (bb, T, T) masks
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        tri = rows >= cols
+        key_valid = key_valid & tri[None]
+        mask_cd = mask_cd * tri[None].astype(compute_dtype)
 
     for layer in range(num_layers):                      # static unroll
         x32 = _layer_body(
@@ -255,10 +264,11 @@ def _pick_block_b(B, T, C, F, num_layers=1, budget=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('heads', 'compute_dtype', 'activation', 'interpret'))
+    static_argnames=('heads', 'compute_dtype', 'activation', 'causal',
+                     'interpret'))
 def encoder_stack(x, mask, layers, heads,
                   compute_dtype=jnp.bfloat16, activation='relu',
-                  interpret=False):
+                  causal=False, interpret=False):
     """The full post-LN encoder stack on (B, T, C) activations, one kernel.
 
     layers: the models.transformer ``params['layers']`` list (each entry has
@@ -310,7 +320,7 @@ def encoder_stack(x, mask, layers, heads,
     kernel = functools.partial(
         _stack_kernel, num_layers=L, heads=heads,
         compute_dtype=cd, block_b=block_b, seq_len=T,
-        activation=activation)
+        activation=activation, causal=causal)
 
     cspec = pl.BlockSpec((L, C, C), lambda b: (0, 0, 0))
     crow = pl.BlockSpec((L, 1, C), lambda b: (0, 0, 0))

@@ -32,13 +32,24 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
+def _causal_valid(t_rows, t_cols, row_offset=0):
+    """(t_rows, t_cols) bool: global row index >= global col index
+    (row block starts at ``row_offset``; keys start at column 0)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t_rows, t_cols), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t_rows, t_cols), 1)
+    return rows + row_offset >= cols
+
+
+def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale,
+                  causal=False):
     """One (batch, head) program; refs are (1, T, D) head slices.
 
     Dots run in the INPUT dtype (bf16 on the production path — fp32 MXU
     passes run at a fraction of bf16 rate) with fp32 accumulation; softmax
     statistics are always fp32, and sm_scale is applied to the fp32 logits
-    (exact for any d_head)."""
+    (exact for any d_head). ``causal`` adds a lower-triangular iota mask
+    (reference config/causal_transformer.py: IS_CAUSAL streaming-style
+    masked attention)."""
     q = q_ref[0]                                      # (T, D), native dtype
     k = k_ref[0]
     v = v_ref[0]
@@ -47,10 +58,13 @@ def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale    # (T, T) fp32
-    logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
+    valid = mask[None, :] > 0
+    if causal:
+        valid = valid & _causal_valid(*logits.shape)
+    logits = jnp.where(valid, logits, NEG_INF)
     row_max = logits.max(axis=-1, keepdims=True)
     p = jnp.exp(logits - row_max)
-    p = jnp.where(mask[None, :] > 0, p, 0.0)
+    p = jnp.where(valid, p, 0.0)
     denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
     o_ref[0] = (jax.lax.dot_general(
         (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -58,7 +72,8 @@ def _fused_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
 
 
 def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
-                         *, sm_scale, heads_per_block, d_head):
+                         *, sm_scale, heads_per_block, d_head,
+                         causal=False):
     """One (batch, head-group) program for d_head < 128: the 128-channel
     block packs ``heads_per_block`` heads side by side; each head's
     attention runs separately on its 64-lane slice (static unroll), so
@@ -68,6 +83,10 @@ def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
     k = k_ref[0]
     v = v_ref[0]
     mask = mask_ref[0, 0, :]                          # (T,)
+    T = q.shape[0]
+    valid = mask[None, :] > 0
+    if causal:
+        valid = valid & _causal_valid(T, T)
 
     outs = []
     for j in range(heads_per_block):
@@ -75,10 +94,10 @@ def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # (T, T) fp32
-        logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
+        logits = jnp.where(valid, logits, NEG_INF)
         row_max = logits.max(axis=-1, keepdims=True)
         p = jnp.exp(logits - row_max)
-        p = jnp.where(mask[None, :] > 0, p, 0.0)
+        p = jnp.where(valid, p, 0.0)
         denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
         outs.append(jax.lax.dot_general(
             (p / denom).astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
@@ -87,17 +106,25 @@ def _fused_kernel_packed(mask_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
-                  *, block_k, sm_scale, kv_len):
+                  *, block_k, block_q, sm_scale, kv_len, causal=False):
     """One (batch, head, q_block) program: online softmax over K/V blocks.
     Dot dtypes as in _fused_kernel (native-dtype operands, fp32
-    accumulation/statistics)."""
+    accumulation/statistics). ``causal``: K/V blocks strictly above the
+    diagonal are skipped entirely (dynamic fori bound); the diagonal block
+    applies the iota triangle."""
     q = q_ref[0]                                      # (BQ, D)
     bq, d = q.shape
+    qi = pl.program_id(2)
+    row0 = qi * block_q
 
     acc = jnp.zeros((bq, d), dtype=jnp.float32)
     row_max = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
     row_sum = jnp.zeros((bq, 1), dtype=jnp.float32)
 
+    # Static trip count even when causal (a program_id-dependent bound
+    # would lower to a dynamic while loop); above-diagonal blocks are
+    # fully masked instead. This path only serves legacy unchunked long
+    # inputs — correctness over peak efficiency.
     num_kb = kv_len // block_k
 
     def body(i, carry):
@@ -109,12 +136,17 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        logits = jnp.where(mask[None, :] > 0, logits, NEG_INF)
+        valid = mask[None, :] > 0
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            valid = valid & (rows + row0 >= cols + i * block_k)
+        logits = jnp.where(valid, logits, NEG_INF)
 
         new_max = jnp.maximum(row_max, logits.max(axis=-1, keepdims=True))
         correction = jnp.exp(row_max - new_max)
         p = jnp.exp(logits - new_max)
-        p = jnp.where(mask[None, :] > 0, p, 0.0)
+        p = jnp.where(valid, p, 0.0)
 
         acc = acc * correction + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -130,16 +162,18 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('num_heads', 'block_q', 'block_k', 'interpret'))
+    static_argnames=('num_heads', 'block_q', 'block_k', 'causal',
+                     'interpret'))
 def flash_attention(q, k, v, mask, num_heads,
                     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-                    interpret=False):
-    """Masked (non-causal) multi-head attention, channels-packed layout.
+                    causal=False, interpret=False):
+    """Masked multi-head attention, channels-packed layout.
 
     q, k, v: (B, T, C) with C = num_heads * d_head (the model's native
     activation layout); mask: (B, T) bool, True = valid key. Returns
     (B, T, C). Fully-masked query rows return zeros. T must be a multiple
-    of the block sizes (pad + mask at the call site).
+    of the block sizes (pad + mask at the call site). ``causal`` adds the
+    lower-triangular mask (reference IS_CAUSAL semantics).
     """
     B, T, C = q.shape
     D = C // num_heads
@@ -157,7 +191,8 @@ def flash_attention(q, k, v, mask, num_heads,
         groups = num_heads // per_block
         out = pl.pallas_call(
             functools.partial(_fused_kernel_packed, sm_scale=sm_scale,
-                              heads_per_block=per_block, d_head=D),
+                              heads_per_block=per_block, d_head=D,
+                              causal=causal),
             grid=(B, groups),
             in_specs=[
                 pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
@@ -182,7 +217,8 @@ def flash_attention(q, k, v, mask, num_heads,
     # the C dimension slices it with no transpose.
     if T <= 1024:
         out = pl.pallas_call(
-            functools.partial(_fused_kernel, sm_scale=sm_scale),
+            functools.partial(_fused_kernel, sm_scale=sm_scale,
+                              causal=causal),
             grid=(B, num_heads),
             in_specs=[
                 pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
@@ -203,8 +239,8 @@ def flash_attention(q, k, v, mask, num_heads,
 
     grid = (B, num_heads, T // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k,
-                          sm_scale=sm_scale, kv_len=T),
+        functools.partial(_flash_kernel, block_k=block_k, block_q=block_q,
+                          sm_scale=sm_scale, kv_len=T, causal=causal),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, T), lambda b, h, i: (b, 0, 0),
@@ -264,18 +300,21 @@ def _dropout_keep(shape, rate, seed, pid, interpret):
 
 def _train_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref,
                       o_ref, lse_ref, *, sm_scale, rate, heads,
-                      interpret):
+                      causal, interpret):
     b, h = pl.program_id(0), pl.program_id(1)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     mask = mask_ref[0, 0, :] > 0                         # (T,)
+    valid = mask[None, :]
+    if causal:
+        valid = valid & _causal_valid(q.shape[0], q.shape[0])
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    logits = jnp.where(mask[None, :], logits, NEG_INF)
+    logits = jnp.where(valid, logits, NEG_INF)
     row_max = jnp.maximum(logits.max(axis=-1, keepdims=True), -1e29)
     p = jnp.exp(logits - row_max)
-    p = jnp.where(mask[None, :], p, 0.0)
+    p = jnp.where(valid, p, 0.0)
     denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
     lse_ref[0, 0, 0] = (row_max + jnp.log(denom))[:, 0]
     pn = p / denom
@@ -290,19 +329,22 @@ def _train_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref,
 
 def _train_bwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
                       lse_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                      *, sm_scale, rate, heads, interpret):
+                      *, sm_scale, rate, heads, causal, interpret):
     b, h = pl.program_id(0), pl.program_id(1)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     o, do = o_ref[0], do_ref[0]
     lse = lse_ref[0, 0, 0][:, None]                      # (T, 1) fp32
     mask = mask_ref[0, 0, :] > 0
+    valid = mask[None, :]
+    if causal:
+        valid = valid & _causal_valid(q.shape[0], q.shape[0])
 
     # Recompute normalized probabilities from the saved statistics
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
     pn = jnp.exp(logits - lse)
-    pn = jnp.where(mask[None, :], pn, 0.0)               # (T, T) fp32
+    pn = jnp.where(valid, pn, 0.0)                       # (T, T) fp32
 
     if rate > 0.0:
         # Same (seed, batch*heads+head) stream as the forward
@@ -343,7 +385,7 @@ def _head_specs(T, D):
 
 
 def flash_attention_train(q, k, v, mask, num_heads, dropout_rate=0.0,
-                          seed=None, interpret=False):
+                          seed=None, causal=False, interpret=False):
     """Differentiable masked multi-head attention with in-kernel
     attention-probability dropout.
 
@@ -358,18 +400,19 @@ def flash_attention_train(q, k, v, mask, num_heads, dropout_rate=0.0,
     seed_i = (jnp.zeros((1,), jnp.int32) if seed is None
               else jnp.asarray(seed, jnp.int32).reshape(1))
     return _flash_train(q, k, v, mask, seed_i, num_heads,
-                        float(dropout_rate), interpret)
+                        float(dropout_rate), bool(causal), interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _flash_train(q, k, v, mask, seed_i, num_heads, dropout_rate,
-                 interpret):
+                 causal, interpret):
     out, _ = _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate,
-                        interpret)
+                        causal, interpret)
     return out
 
 
-def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
+def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, causal,
+               interpret):
     B, T, C = q.shape
     D = C // num_heads
     assert D % 128 == 0 and T % 8 == 0, (D, T)
@@ -396,7 +439,7 @@ def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
     o, lse = pl.pallas_call(
         functools.partial(_train_fwd_kernel, sm_scale=sm_scale,
                           rate=float(dropout_rate), heads=num_heads,
-                          interpret=interpret),
+                          causal=causal, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, T, C), q.dtype),
@@ -416,12 +459,13 @@ def _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate, interpret):
 
 
 def _train_fwd_rule(q, k, v, mask, seed_i, num_heads, dropout_rate,
-                    interpret):
+                    causal, interpret):
     return _train_fwd(q, k, v, mask, seed_i, num_heads, dropout_rate,
-                      interpret)
+                      causal, interpret)
 
 
-def _train_bwd_rule(num_heads, dropout_rate, interpret, residuals, do):
+def _train_bwd_rule(num_heads, dropout_rate, causal, interpret, residuals,
+                    do):
     q, k, v, mask_i, seed_i, o, lse = residuals
     B, T, C = q.shape
     D = C // num_heads
@@ -444,7 +488,7 @@ def _train_bwd_rule(num_heads, dropout_rate, interpret, residuals, do):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_train_bwd_kernel, sm_scale=sm_scale,
                           rate=float(dropout_rate), heads=num_heads,
-                          interpret=interpret),
+                          causal=causal, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, T, C), q.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(

@@ -81,6 +81,114 @@ def test_flash_packed_small_heads_matches_reference(D, H):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def reference_attention_causal(q, k, v, mask):
+    D = q.shape[-1]
+    T = q.shape[2]
+    tri = np.tril(np.ones((T, T), bool))
+    full = mask[:, None, None, :] & tri[None, None]
+    logits = np.einsum('bhqd,bhkd->bhqk', q, k) / math.sqrt(D)
+    logits = np.where(full, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = np.where(full, p, 0)
+    attn = p / np.maximum(p.sum(-1, keepdims=True), 1e-30)
+    return np.einsum('bhqk,bhkd->bhqd', attn, v)
+
+
+@pytest.mark.parametrize('T', [256, 2048])
+def test_flash_causal_matches_reference(T):
+    """Causal masking in both the fused (T<=1024) and blocked kernels."""
+    rng = np.random.default_rng(7)
+    B, H, D = 2, 2, 128
+    q, k, v = (rng.standard_normal((B, H, T, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[1, T - 50:] = False
+
+    def pack(a):
+        return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(B, T, H * D))
+
+    out = np.asarray(flash_attention(
+        pack(q), pack(k), pack(v), jnp.asarray(mask), num_heads=H,
+        causal=True, interpret=True))
+    out = out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    ref = reference_attention_causal(q, k, v, mask)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_packed_causal_matches_reference():
+    rng = np.random.default_rng(8)
+    B, H, T, D = 2, 4, 200, 64
+    q, k, v = (rng.standard_normal((B, H, T, D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[0, 150:] = False
+
+    def pack(a):
+        return jnp.asarray(a.transpose(0, 2, 1, 3).reshape(B, T, H * D))
+
+    out = np.asarray(flash_attention(
+        pack(q), pack(k), pack(v), jnp.asarray(mask), num_heads=H,
+        causal=True, interpret=True))
+    out = out.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    ref = reference_attention_causal(q, k, v, mask)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_train_causal_gradient_parity_vs_xla():
+    """Causal custom_vjp kernel: forward + grads match autodiff through
+    the XLA causal formulation."""
+    import jax
+
+    from ppgs_tpu.ops.flash_attention import flash_attention_train
+
+    rng = np.random.default_rng(9)
+    B, T, H, D = 2, 64, 2, 128
+    q, k, v = (rng.standard_normal((B, T, H * D)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), bool)
+    mask[0, 50:] = False
+    cot = rng.standard_normal((B, T, H * D)).astype(np.float32)
+    tri = jnp.asarray(np.tril(np.ones((T, T), bool)))
+
+    def xla_attention(q, k, v):
+        q4 = q.reshape(B, T, H, D)
+        k4 = k.reshape(B, T, H, D)
+        v4 = v.reshape(B, T, H, D)
+        full = jnp.asarray(mask)[:, None, None, :] & tri[None, None]
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q4, k4) / math.sqrt(D)
+        logits = jnp.where(full, logits, -1e30)
+        row_max = jnp.maximum(logits.max(axis=-1, keepdims=True), -1e29)
+        p = jnp.exp(logits - row_max)
+        p = jnp.where(full, p, 0.0)
+        denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+        out = jnp.einsum('bhqk,bkhd->bqhd', p / denom, v4)
+        return out.reshape(B, T, H * D)
+
+    def kernel_loss(q, k, v):
+        out = flash_attention_train(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), num_heads=H, causal=True, interpret=True)
+        return (out * cot).sum()
+
+    def xla_loss(q, k, v):
+        return (xla_attention(q, k, v) * cot).sum()
+
+    out_k = np.asarray(flash_attention_train(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        num_heads=H, causal=True, interpret=True))
+    out_x = np.asarray(xla_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(out_k, out_x, rtol=1e-4, atol=1e-5)
+
+    got = jax.grad(kernel_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(xla_loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for g, w, name in zip(got, want, 'qkv'):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-5,
+            err_msg=name)
+
+
 def test_flash_train_forward_matches_inference_kernel():
     """rate=0 training kernel == the inference fused kernel."""
     from ppgs_tpu.ops.flash_attention import flash_attention_train
@@ -193,6 +301,43 @@ def test_flash_train_dropout_structure():
         dq[idx] = eps
         fd = (float(loss(q + dq)) - float(loss(q - dq))) / (2 * eps)
         np.testing.assert_allclose(g[idx], fd, rtol=5e-2, atol=5e-3)
+
+
+def test_train_attention_beyond_kernel_cap_warns_and_falls_back(
+        monkeypatch):
+    """T=1536 > TRAIN_KERNEL_MAX_T at train time: the XLA attention path is
+    chosen DELIBERATELY, with a one-time warning (round-4 verdict #8)."""
+    import warnings as _warnings
+
+    import jax
+
+    from ppgs_tpu.models import transformer
+
+    rng = np.random.default_rng(10)
+    B, T, C, H = 1, 1536, 256, 2
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    p = {k: jnp.asarray(
+        rng.standard_normal((C, C)).astype(np.float32) * 0.05)
+        for k in ('wq', 'wk', 'wv', 'wo')}
+    p.update({k: jnp.zeros((C,)) for k in ('bq', 'bk', 'bv', 'bo')})
+    mask = jnp.ones((B, T), bool)
+    drop_rng = jax.random.key(0, impl='rbg')
+
+    monkeypatch.setattr(transformer, '_use_flash', lambda d: True)
+    transformer._warn_train_fallback.seen.discard(T)
+    with pytest.warns(UserWarning, match='exceeds the Pallas kernel cap'):
+        out = transformer._attention(
+            x, p, mask, False, H, drop_rng, 0.0, jnp.bfloat16, None)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # Second call at the same T: no duplicate warning (one-time per T)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        transformer._attention(
+            x, p, mask, False, H, drop_rng, 0.0, jnp.bfloat16, None)
+
+    # T=512 (<= cap) would take the kernel path: assert the gate condition
+    assert 512 <= transformer.TRAIN_KERNEL_MAX_T < 1536
 
 
 def test_attention_train_path_gradients_match_xla(monkeypatch):
