@@ -4,7 +4,9 @@
 # -> accuracy plot. Requires datasets placed per the download docs.
 set -euo pipefail
 
-REPRESENTATIONS=(mel w2v2fb bottleneck)
+# All five trained representations of the paper (reference run.sh:22-56:
+# default/bottleneck, w2v2fb, w2v2fc, mel, encodec)
+REPRESENTATIONS=(mel w2v2fb w2v2fc bottleneck encodec)
 
 # Download and format datasets (TIMIT/Common Voice need user-supplied blobs)
 python -m ppgs_tpu.data.download --datasets commonvoice arctic timit

@@ -53,12 +53,60 @@ def synthetic_dataset(tmp_path, monkeypatch):
         frames = samples // 160
         mel = rng.standard_normal((80, frames)).astype(np.float16)
         np.save(cache / f'{stem}-mel.npy', mel)
+        # Caches for the other run.sh representations (small channel
+        # counts for CPU speed; the real channel widths are exercised by
+        # the preprocess parity tests)
+        for rep, ch in (('w2v2fb', 16), ('w2v2fc', 16), ('bottleneck', 12)):
+            np.save(cache / f'{stem}-{rep}.npy',
+                    rng.standard_normal((ch, frames)).astype(np.float16))
+        # encodec: cached INT CODES, dequantized by the codebook frontend
+        np.save(cache / f'{stem}-encodec.npy',
+                rng.integers(0, 8, (2, frames)).astype(np.int32))
         stems.append(stem)
 
     with open(partition_dir / 'tinyset.json', 'w') as f:
         json.dump({'train': stems[:5], 'valid': stems[5:6],
                    'test': stems[6:]}, f)
     return tmp_path
+
+
+@pytest.mark.parametrize(
+    'rep,channels',
+    [('w2v2fb', 16), ('w2v2fc', 16), ('bottleneck', 12), ('encodec', 12)])
+def test_all_runsh_representations_train_and_evaluate(
+        synthetic_dataset, rep, channels, request):
+    """Every run.sh representation (reference run.sh:22-56) runs its
+    preprocess-cache -> train -> evaluate path end-to-end; encodec goes
+    through the codebook FRONTEND dequantization inside the jitted step
+    (mel is covered by test_train_loop_end_to_end/test_evaluate_datasets)."""
+    from ppgs_tpu import core as core_mod
+    from ppgs_tpu import evaluate, frontend
+    from ppgs_tpu.train import core as train_core
+
+    if rep == 'encodec':
+        rng = np.random.default_rng(7)
+        frontend.register(
+            'encodec', rng.standard_normal((2, 8, 12)).astype(np.float32),
+            'sum')
+        request.addfinalizer(lambda: frontend.unregister('encodec'))
+
+    config = TINY.replace(
+        config=rep, representation=rep, input_channels=channels,
+        frontend='encodec' if rep == 'encodec' else None,
+        datasets=('tinyset',))
+
+    run_dir = synthetic_dataset / 'runs' / rep
+    params = train_core.train('tinyset', run_dir, config=config,
+                              max_steps=4)
+    assert params is not None
+    ckpt = train_core.latest_checkpoint(run_dir)
+    assert ckpt is not None and ckpt.name == '00000004.npz'
+
+    core_mod._MODEL_CACHE.clear()
+    results = evaluate.datasets(['tinyset'], checkpoint=ckpt, config=config)
+    assert 0.0 <= results['tinyset']['Accuracy'] <= 1.0
+    assert np.isfinite(results['tinyset']['loss'])
+    assert (synthetic_dataset / 'eval' / rep / 'overall.json').exists()
 
 
 def test_train_loop_end_to_end(synthetic_dataset, tmp_path):
