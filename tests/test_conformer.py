@@ -19,7 +19,12 @@ REFERENCE_PKG = '/root/reference/ppgs/preprocess/bottleneck'
 
 @pytest.fixture(scope='module')
 def oracle():
-    """Reference ConformerEncoder (4 blocks, d=144) with random weights."""
+    return make_oracle()
+
+
+def make_oracle():
+    """Reference ConformerEncoder (4 blocks, d=144) with random weights
+    (plain function so test_structural_goldens can reuse the torch chain)."""
     import importlib.util
     import types
 
