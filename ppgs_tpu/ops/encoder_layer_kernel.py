@@ -375,3 +375,155 @@ def encoder_layer(x, mask, attn, norm1, ffn, norm2, heads,
     layer = {'attn': attn, 'norm1': norm1, 'ffn': ffn, 'norm2': norm2}
     return encoder_stack(x, mask, [layer], heads,
                          compute_dtype=compute_dtype, interpret=interpret)
+
+
+###############################################################################
+# Weight-streaming whole-stack schedule (large models: wav2vec2's 12 layers)
+###############################################################################
+
+
+def _stream_kernel(x_ref, mask_ref,
+                   wqkv_ref, bqkv_ref,
+                   wo_ref, bo_ref, g1_ref, be1_ref,
+                   w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, be2_ref,
+                   o_ref, x_scratch, *, num_layers, heads, compute_dtype,
+                   block_b, seq_len, activation, causal):
+    """One LAYER of one batch block per grid step, grid=(B/bb, L).
+
+    The fp32 residual stream lives in a VMEM scratch that persists across
+    the (sequential) layer dimension; each step's weight blocks are indexed
+    by the layer id, so Mosaic's automatic block double-buffering streams
+    layer l+1's ~2(C^2)+2CF weights from HBM while layer l computes — the
+    full weight set never needs to be VMEM-resident (wav2vec2: 14 MB/layer
+    vs 170 MB total).
+    """
+    l = pl.program_id(1)
+    T, C = seq_len, x_ref.shape[-1]
+
+    @pl.when(l == 0)
+    def _load():
+        x_scratch[...] = x_ref[...].reshape(block_b * T, C).astype(
+            jnp.float32)
+
+    key_valid = mask_ref[...] > 0
+    mask_cd = mask_ref[...].astype(compute_dtype)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        tri = rows >= cols
+        key_valid = key_valid & tri[None]
+        mask_cd = mask_cd * tri[None].astype(compute_dtype)
+
+    x_scratch[...] = _layer_body(
+        x_scratch[...], key_valid, mask_cd,
+        wqkv_ref[0], bqkv_ref[0],
+        wo_ref[0], bo_ref[0], g1_ref[0], be1_ref[0],
+        w1_ref[0], b1_ref[0], w2_ref[0], b2_ref[0],
+        g2_ref[0], be2_ref[0],
+        heads=heads, compute_dtype=compute_dtype,
+        block_b=block_b, seq_len=seq_len, activation=activation)
+
+    @pl.when(l == num_layers - 1)
+    def _store():
+        o_ref[...] = x_scratch[...].reshape(block_b, T, C).astype(
+            o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('heads', 'compute_dtype', 'activation', 'causal',
+                     'block_b', 'interpret'))
+def encoder_stack_streamed(x, mask, layers, heads,
+                           compute_dtype=jnp.bfloat16, activation='gelu',
+                           causal=False, block_b=None, interpret=False):
+    """encoder_stack with per-layer weight streaming: same math, but the
+    grid walks (batch block, layer) so only ~2 layers of weights occupy
+    VMEM at once (the current one + Mosaic's prefetch of the next).
+
+    For models whose full weight set exceeds VMEM (wav2vec2-base encoder:
+    ~170 MB bf16) this replaces one pallas_call per layer — eliminating the
+    L-1 inter-layer HBM round trips of the residual stream.
+    """
+    B, T, C = x.shape
+    L = len(layers)
+    F = layers[0]['ffn']['w1'].shape[-1]
+    cd = jnp.dtype(compute_dtype)
+    if block_b is None:
+        # Budget as if 2 layers were resident (current + prefetched)
+        block_b = _pick_block_b(B, T, C, F, num_layers=2)
+
+    def stack(path, astype, reshape=None):
+        leaves = []
+        for layer in layers:
+            leaf = layer
+            for key in path:
+                leaf = leaf[key]
+            if reshape is not None:
+                leaf = leaf.reshape(reshape)
+            leaves.append(leaf.astype(astype))
+        return jnp.stack(leaves)
+
+    def w(*path):
+        return stack(path, cd)
+
+    def row(*path):
+        return stack(path, jnp.float32, reshape=(1, -1))
+
+    sm_scale = 1.0 / (C // heads) ** 0.5
+    q_factor = sm_scale * (1.0 if cd == jnp.float32 else LOG2E)
+    wqkv, bqkv = [], []
+    for layer in layers:
+        a = layer['attn']
+        wqkv.append(jnp.concatenate(
+            [a['wq'] * q_factor, a['wk'], a['wv']], axis=1).astype(cd))
+        bqkv.append(jnp.concatenate(
+            [a['bq'] * q_factor, a['bk'], a['bv']]).reshape(1, -1)
+            .astype(jnp.float32))
+    wqkv = jnp.stack(wqkv)
+    bqkv = jnp.stack(bqkv)
+
+    kernel = functools.partial(
+        _stream_kernel, num_layers=L, heads=heads,
+        compute_dtype=cd, block_b=block_b, seq_len=T,
+        activation=activation, causal=causal)
+
+    def lw(shape):
+        # One layer's block of a stacked (L, ...) weight, indexed by l
+        return pl.BlockSpec((1,) + shape, lambda b, l: (l, 0, 0))
+
+    flops_total = (8 * T * C * C + 4 * T * T * C
+                   + 4 * T * C * F) * B * L
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_b, L),
+        in_specs=[
+            pl.BlockSpec((block_b, T, C), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((block_b, 1, T), lambda b, l: (b, 0, 0)),
+            lw((C, 3 * C)), lw((1, 3 * C)),
+            lw((C, C)), lw((1, C)), lw((1, C)), lw((1, C)),
+            lw((C, F)), lw((1, F)),
+            lw((F, C)), lw((1, C)),
+            lw((1, C)), lw((1, C)),
+        ],
+        out_specs=pl.BlockSpec((block_b, T, C), lambda b, l: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_b * T, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary'),
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_total,
+            bytes_accessed=(2 * B * T * C * 2
+                            + (B // block_b) * L
+                            * (4 * C * C + 2 * C * F) * 2),
+            transcendentals=B * T * T * heads * L),
+        interpret=interpret,
+    )(
+        x, mask.astype(jnp.float32).reshape(B, 1, T),
+        wqkv, bqkv,
+        w('attn', 'wo'), row('attn', 'bo'),
+        row('norm1', 'scale'), row('norm1', 'bias'),
+        w('ffn', 'w1'), row('ffn', 'b1'),
+        w('ffn', 'w2'), row('ffn', 'b2'),
+        row('norm2', 'scale'), row('norm2', 'bias'),
+    )

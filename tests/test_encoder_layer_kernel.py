@@ -147,6 +147,39 @@ def test_causal_stack_fp32_tight():
         atol=2e-4, rtol=2e-4)
 
 
+def test_streamed_stack_matches_resident_stack():
+    """Weight-streaming (batch, layer)-grid schedule == the all-resident
+    whole-stack kernel, bit-for-bit math (same _layer_body)."""
+    config = ppgs_tpu.Config()
+    params = transformer.init(jax.random.PRNGKey(5), config)
+
+    B, T, C = 4, 256, config.hidden_channels
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    lengths = jnp.asarray([256, 250, 64, 8])
+    mask = transformer.mask_from_lengths(lengths, T)
+
+    want = elk.encoder_stack(
+        x, mask, params['layers'], config.attention_heads, interpret=True)
+    got = elk.encoder_stack_streamed(
+        x, mask, params['layers'], config.attention_heads,
+        activation='relu', block_b=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=1e-5, rtol=1e-5)
+
+    # Causal + gelu variant too
+    want_c = elk.encoder_stack(
+        x, mask, params['layers'], config.attention_heads,
+        activation='gelu', causal=True, interpret=True)
+    got_c = elk.encoder_stack_streamed(
+        x, mask, params['layers'], config.attention_heads,
+        activation='gelu', causal=True, block_b=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_c, np.float32), np.asarray(want_c, np.float32),
+        atol=1e-5, rtol=1e-5)
+
+
 def test_pick_block_b_device_aware_budgets(monkeypatch):
     """Block picking fits the working-set estimate at any simulated VMEM
     budget — no env var needed on small-VMEM parts (round-3 verdict #7)."""
