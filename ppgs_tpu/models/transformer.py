@@ -81,6 +81,12 @@ def _elk():
     return encoder_layer_kernel
 
 
+def _use_train_layer_kernel() -> bool:
+    import os
+
+    return os.environ.get('PPGS_TPU_TRAIN_LAYER_KERNEL', '1') != '0'
+
+
 def _use_fused_ffn(m: int, c: int, f: int) -> bool:
     """Fused FFN kernel eligibility: TPU + MXU-aligned, M on block bounds."""
     import os
@@ -311,6 +317,22 @@ def _dropout(x, rng, rate):
 def _encoder_layer(x, layer, key_mask, causal, heads, rngs, dropout,
                    compute_dtype, precision):
     """Post-LN block: x = LN(x + SA(x)); x = LN(x + FFN(x))."""
+    # Whole-layer train kernel (custom_vjp): QKV, attention, out-proj,
+    # BOTH LayerNorms, the FFN, and all four dropout sites run as ONE
+    # Pallas kernel each way; the backward recomputes the layer in VMEM
+    # (ops/encoder_layer_train.py). The fp32 residual stream stays fp32
+    # in HBM between layers, like this XLA path.
+    if (rngs[0] is not None and compute_dtype == jnp.bfloat16
+            and x.shape[1] <= TRAIN_KERNEL_MAX_T and x.shape[1] % 8 == 0
+            and _use_flash(x.shape[-1] // heads)
+            and _use_train_layer_kernel()):
+        from ..ops import encoder_layer_train as elt
+
+        seed = jax.random.key_data(rngs[0]).ravel()[0].astype(jnp.int32)
+        return elt.encoder_layer_train(
+            x, key_mask, layer, heads, dropout_rate=float(dropout),
+            seed=seed, causal=causal, compute_dtype=compute_dtype)
+
     sa = _attention(x, layer['attn'], key_mask, causal, heads,
                     rngs[0], dropout, compute_dtype, precision)
     sa = _dropout(sa, rngs[1], dropout)
