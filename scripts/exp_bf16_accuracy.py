@@ -11,6 +11,9 @@ Usage: cd /root/repo && timeout 900 python scripts/exp_bf16_accuracy.py
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

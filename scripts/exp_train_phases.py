@@ -23,7 +23,10 @@ Usage: cd /root/repo && timeout 1200 python scripts/exp_train_phases.py
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -166,6 +169,22 @@ def main():
 
     results['kernels_only'] = chained_time(kernels_only, jnp.float32(0),
                                            'kernels_only')
+
+    # --- layer-kernel A/B: production step with the whole-layer train
+    # kernel disabled (falls back to flash-attn + fused-FFN + XLA glue) ---
+    os.environ['PPGS_TPU_TRAIN_LAYER_KERNEL'] = '0'
+    jax.clear_caches()
+    step_fn_old = train_core.make_train_step(config, optimizer)
+
+    def old_step(carry, rng):
+        p, o = carry
+        p, o, _, _ = step_fn_old.__wrapped__(p, o, feats, targets, lengths,
+                                             rng)
+        return p, o
+
+    results['step_no_elt'] = chained_time(old_step, (params, opt_state),
+                                          'step_no_elt')
+    del os.environ['PPGS_TPU_TRAIN_LAYER_KERNEL']
 
     # --- attribution -------------------------------------------------------
     ms = {k: v * 1e3 for k, v in results.items()}
