@@ -179,13 +179,35 @@ def _rel_attention(x, pos_emb, p, mask, heads, compute_dtype, precision):
     matrix_bd = jnp.einsum('bhqd,bhkd->bhqk', q_v, pos, precision=precision)
     matrix_bd = _rel_shift(matrix_bd)
 
-    scores = (matrix_ac + matrix_bd).astype(jnp.float32) / math.sqrt(d_k)
-    if mask is not None:
-        scores = jnp.where(mask[:, None, None, :], scores,
-                           jnp.finfo(jnp.float32).min)
-    attn = jax.nn.softmax(scores, axis=-1)
-    if mask is not None:
-        attn = jnp.where(mask[:, None, None, :], attn, 0.0)
+    if compute_dtype == jnp.float32:
+        # Strict-parity path (fp32 configs): fp32 score materialization
+        scores = (matrix_ac + matrix_bd).astype(jnp.float32) / math.sqrt(d_k)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :], scores,
+                               jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            attn = jnp.where(mask[:, None, None, :], attn, 0.0)
+    else:
+        # Production bf16 path: the (B, H, T, T) tensors are the
+        # pipeline's HBM hot spot (~0.65 GB fp32 per tensor per block at
+        # the bench workload) — keep them at compute dtype end to end and
+        # run only the softmax STATISTICS in fp32 (XLA fuses the upcast
+        # into the reduction loops, so no fp32 copy materializes).
+        scores = (matrix_ac + matrix_bd) * jnp.asarray(
+            1.0 / math.sqrt(d_k), compute_dtype)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :], scores,
+                               jnp.asarray(-1e30, compute_dtype))
+        row_max = scores.astype(jnp.float32).max(axis=-1, keepdims=True)
+        unnorm = jnp.exp((scores.astype(jnp.float32)
+                          - row_max)).astype(compute_dtype)
+        if mask is not None:
+            unnorm = jnp.where(mask[:, None, None, :], unnorm,
+                               jnp.asarray(0.0, compute_dtype))
+        denom = unnorm.sum(axis=-1, keepdims=True, dtype=jnp.float32)
+        attn = unnorm * (1.0 / jnp.maximum(denom, 1e-30)).astype(
+            compute_dtype)
 
     out = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(compute_dtype), v,
                      precision=precision)
