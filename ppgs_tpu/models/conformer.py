@@ -155,7 +155,21 @@ def _rel_shift(x):
     return x_padded[:, :, 1:].reshape(B, H, T1, T2)
 
 
-def _rel_attention(x, pos_emb, p, mask, heads, compute_dtype, precision):
+def _use_fused_rel_attention(t: int) -> bool:
+    import os
+
+    if os.environ.get('PPGS_TPU_DISABLE_FLASH'):
+        return False
+    if os.environ.get('PPGS_TPU_CONFORMER_KERNEL', '1') == '0':
+        return False
+    try:
+        return jax.default_backend() == 'tpu' and t % 8 == 0 and t <= 2048
+    except RuntimeError:
+        return False
+
+
+def _rel_attention(x, pos_emb, p, mask, heads, compute_dtype, precision,
+                   interpret=False):
     B, T, C = x.shape
     d_k = C // heads
     xc = x.astype(compute_dtype)
@@ -174,6 +188,26 @@ def _rel_attention(x, pos_emb, p, mask, heads, compute_dtype, precision):
 
     q_u = (q + p['pos_bias_u'].astype(compute_dtype)).transpose(0, 2, 1, 3)
     q_v = (q + p['pos_bias_v'].astype(compute_dtype)).transpose(0, 2, 1, 3)
+
+    # Pallas fused path (TPU, bf16): content scores + bias add + masked
+    # softmax + PV stay in VMEM; only the (batch-dependent) shifted
+    # position term materializes once (ops/flash_attention.py
+    # fused_attention_bias). d_k=36 heads zero-pad to 64 lanes.
+    if (compute_dtype == jnp.bfloat16 and d_k <= 64
+            and (_use_fused_rel_attention(T) or interpret)):
+        from ..ops import flash_attention as fa
+
+        matrix_bd = jnp.einsum('bhqd,bhkd->bhqk', q_v, pos,
+                               precision=precision)
+        bias = _rel_shift(matrix_bd)
+        key_mask = (mask if mask is not None
+                    else jnp.ones((B, T), bool))
+        out = fa.fused_attention_bias(
+            q_u.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), bias, key_mask, heads,
+            interpret=interpret)
+        out = out.reshape(B, T, C)
+        return proj(p['out'], out.astype(compute_dtype)).astype(x.dtype)
 
     matrix_ac = jnp.einsum('bhqd,bhkd->bhqk', q_u, k, precision=precision)
     matrix_bd = jnp.einsum('bhqd,bhkd->bhqk', q_v, pos, precision=precision)

@@ -266,6 +266,103 @@ def supported():
 
 
 ###############################################################################
+# Fused attention with an additive score bias (conformer rel-pos attention)
+###############################################################################
+#
+# The conformer's Transformer-XL attention adds a relative-position term:
+# scores = (q_u k^T + rel_shift(q_v pos^T)) / sqrt(d). The content scores,
+# softmax, and probabilities are all (B, H, T, T) — the bottleneck
+# pipeline's HBM hot spot. This kernel takes the (unavoidable, batch-
+# dependent) shifted position term as an INPUT and computes content
+# scores + add + masked softmax + PV in VMEM: one (B, H, T, T) read
+# replaces ~4 materializations. Heads are zero-padded to 64 lanes
+# (d_k=36 -> 64; zero-padded dims change no dot product) and packed two
+# per 128-lane block like _fused_kernel_packed.
+
+
+def _fused_kernel_bias(mask_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                       *, sm_scale, heads_per_block, d_head):
+    q = q_ref[0]                                      # (T, P*dh)
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0, 0, :] > 0                      # (T,)
+
+    outs = []
+    for j in range(heads_per_block):
+        sl = slice(j * d_head, (j + 1) * d_head)
+        logits = (jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bias_ref[0, j].astype(jnp.float32)) * sm_scale
+        logits = jnp.where(mask[None, :], logits, NEG_INF)
+        row_max = jnp.maximum(logits.max(axis=-1, keepdims=True), -1e29)
+        p = jnp.exp(logits - row_max)
+        p = jnp.where(mask[None, :], p, 0.0)
+        denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+        outs.append(jax.lax.dot_general(
+            (p / denom).astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+def fused_attention_bias(q, k, v, bias, mask, num_heads, interpret=False):
+    """softmax((q k^T + bias) * sm_scale) v with VMEM-resident scores.
+
+    q, k, v: (B, T, H, d_k) head-split layout (any d_k <= 64); bias:
+    (B, H, T, T) additive pre-scale score term; mask: (B, T) bool valid
+    keys. sm_scale = 1/sqrt(d_k). Returns (B, T, H, d_k). T must be a
+    multiple of 8.
+    """
+    B, T, H, dk = q.shape
+    assert H == num_heads and T % 8 == 0, (H, num_heads, T)
+    assert dk <= 64, dk
+    sm_scale = 1.0 / math.sqrt(dk)
+
+    # Zero-pad each head to 64 lanes, pack 2 heads per 128-lane block
+    dp = 64
+    per_block = 128 // dp
+    assert H % per_block == 0, H
+
+    def pack(a):
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, dp - dk)))
+        return a.reshape(B, T, H * dp)
+
+    qp, kp, vp = pack(q), pack(k), pack(v)
+    mask_i = mask.astype(jnp.int32)[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel_bias, sm_scale=sm_scale,
+                          heads_per_block=per_block, d_head=dp),
+        grid=(B, H // per_block),
+        in_specs=[
+            pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, per_block, T, T), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, H * dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel'),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * dp,
+            bytes_accessed=B * H * T * T * 2 + 4 * B * T * H * dp * 2,
+            transcendentals=B * H * T * T),
+        interpret=interpret,
+    )(mask_i, qp, kp, vp, bias)
+    return out.reshape(B, T, H, dp)[..., :dk]
+
+
+###############################################################################
 # Differentiable fused attention (training path)
 ###############################################################################
 #

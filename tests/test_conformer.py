@@ -146,6 +146,48 @@ def test_full_forward_matches(oracle):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_fused_rel_attention_matches_xla(oracle):
+    """Pallas fused bias-attention path (interpret) vs the XLA rel-pos
+    attention at fp32 reference tolerance (bf16 operands both ways)."""
+    import jax
+    import os
+
+    _, params, config = oracle
+    block = params['blocks'][0]
+    rng = np.random.default_rng(11)
+    B, T = 2, 64
+    x = jnp.asarray(rng.standard_normal((B, T, config.dim)), jnp.float32)
+    lengths = np.array([T, 40])
+    mask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+    pos_emb = jnp.asarray(conformer._rel_pos_table(T, config.dim))[None]
+
+    # fp32 strict reference
+    ref = np.asarray(conformer._rel_attention(
+        x, pos_emb, block['attn'], mask, config.heads, jnp.float32,
+        jax.lax.Precision('highest')))
+
+    # Kernel path (interpret; bf16 operands)
+    got = np.asarray(conformer._rel_attention(
+        x, pos_emb, block['attn'], mask, config.heads, jnp.bfloat16,
+        None, interpret=True), np.float32)
+
+    # XLA bf16 path for comparison (kernel disabled)
+    os.environ['PPGS_TPU_CONFORMER_KERNEL'] = '0'
+    try:
+        xla_bf16 = np.asarray(conformer._rel_attention(
+            x, pos_emb, block['attn'], mask, config.heads, jnp.bfloat16,
+            None), np.float32)
+    finally:
+        del os.environ['PPGS_TPU_CONFORMER_KERNEL']
+
+    scale = np.abs(ref).max()
+    valid = np.asarray(mask)
+    # Kernel at least as close to fp32 truth as the XLA bf16 path
+    err_kernel = np.abs(got - ref)[valid].max() / scale
+    err_xla = np.abs(xla_bf16 - ref)[valid].max() / scale
+    assert err_kernel <= max(err_xla * 1.5, 0.02), (err_kernel, err_xla)
+
+
 def test_rel_shift_matches_reference_formula():
     """Legacy rel_shift equivalence on random data."""
     rng = np.random.default_rng(2)
