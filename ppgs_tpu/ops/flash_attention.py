@@ -281,28 +281,51 @@ def supported():
 
 
 def _fused_kernel_bias(mask_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                       *, sm_scale, heads_per_block, d_head):
-    q = q_ref[0]                                      # (T, P*dh)
-    k = k_ref[0]
-    v = v_ref[0]
-    mask = mask_ref[0, 0, :] > 0                      # (T,)
+                       *, sm_scale, heads_per_block, d_head, block_b):
+    """block_b windows x heads_per_block heads per program (small-program
+    grids are launch-overhead-bound at these sizes: 128 single-window
+    programs measured 4.2 ms where the compute+DMA floor is ~0.8 ms)."""
+    q = q_ref[...]                                    # (bb, T, P*dh)
+    k = k_ref[...]
+    v = v_ref[...]
+    mask = mask_ref[...] > 0                          # (bb, 1, T)
 
     outs = []
     for j in range(heads_per_block):
         sl = slice(j * d_head, (j + 1) * d_head)
         logits = (jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-            + bias_ref[0, j].astype(jnp.float32)) * sm_scale
-        logits = jnp.where(mask[None, :], logits, NEG_INF)
+            + bias_ref[:, j].astype(jnp.float32)) * sm_scale  # (bb, T, T)
+        logits = jnp.where(mask, logits, NEG_INF)
         row_max = jnp.maximum(logits.max(axis=-1, keepdims=True), -1e29)
         p = jnp.exp(logits - row_max)
-        p = jnp.where(mask[None, :], p, 0.0)
+        p = jnp.where(mask, p, 0.0)
         denom = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
         outs.append(jax.lax.dot_general(
-            (p / denom).astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+            (p / denom).astype(v.dtype), v[..., sl],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))      # (bb, T, dh)
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _bias_block_b(B, T, per_block):
+    """Largest divisor of B whose (bias + fp32 scores + qkv) fits ~40 MB."""
+    import os
+
+    override = os.environ.get('PPGS_TPU_BIAS_BLOCK_B')
+    if override:
+        return max(1, min(int(override), B))
+    budget = 40 * 1024 * 1024
+    for bb in (8, 4, 2, 1):
+        if B % bb:
+            continue
+        est = (bb * per_block * T * T * 2      # bias block (bf16)
+               + bb * T * T * 4 * 2            # ~2 live fp32 score slabs
+               + 8 * bb * T * 128 * 2)         # q/k/v/out + double-buffer
+        if est <= budget:
+            return bb
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
@@ -323,6 +346,7 @@ def fused_attention_bias(q, k, v, bias, mask, num_heads, interpret=False):
     dp = 64
     per_block = 128 // dp
     assert H % per_block == 0, H
+    bb = _bias_block_b(B, T, per_block)
 
     def pack(a):
         a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, dp - dk)))
@@ -333,26 +357,27 @@ def fused_attention_bias(q, k, v, bias, mask, num_heads, interpret=False):
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel_bias, sm_scale=sm_scale,
-                          heads_per_block=per_block, d_head=dp),
-        grid=(B, H // per_block),
+                          heads_per_block=per_block, d_head=dp,
+                          block_b=bb),
+        grid=(B // bb, H // per_block),
         in_specs=[
-            pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
+            pl.BlockSpec((bb, 1, T), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+            pl.BlockSpec((bb, T, 128), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+            pl.BlockSpec((bb, T, 128), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+            pl.BlockSpec((bb, T, 128), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, per_block, T, T), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((bb, per_block, T, T), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, 128), lambda b, h: (b, 0, h),
+        out_specs=pl.BlockSpec((bb, T, 128), lambda b, h: (b, 0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, H * dp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel'),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * T * dp,
             bytes_accessed=B * H * T * T * 2 + 4 * B * T * H * dp * 2,
