@@ -197,21 +197,22 @@ def _rel_attention(x, pos_emb, p, mask, heads, compute_dtype, precision,
             and (_use_fused_rel_attention(T) or interpret)):
         from ..ops import flash_attention as fa
 
-        # Per-head FLAT matmuls instead of one (B*H)-batched einsum: the
-        # batched form schedules as 256 tiny (T, d_k)x(d_k, T) instances
-        # and measured ~13x over its FLOP floor; (B*T, d_k) @ (d_k, T)
-        # per head is 4 large well-tiled matmuls.
-        matrix_bd = jnp.stack([
-            (q_v[:, h].reshape(B * T, d_k)
-             @ pos[0, h].T).reshape(B, T, T)
-            for h in range(heads)], axis=1)
-        bias = _rel_shift(matrix_bd)
+        matrix_bd = jnp.einsum('bhqd,bhkd->bhqk', q_v, pos,
+                               precision=precision)
+        # Legacy rel_shift via the kernel's free sublane slice: hand it the
+        # zero-column-padded UNSHIFTED term viewed (B, H, T+1, T) — the
+        # XLA shift's misaligned (.., T, T+1)-lane copies measured 4.2 ms
+        # at the bench workload
+        z = jnp.concatenate(
+            [jnp.zeros((B, heads, T, 1), matrix_bd.dtype), matrix_bd],
+            axis=-1)
+        bias = z.reshape(B, heads, T + 1, T)
         key_mask = (mask if mask is not None
                     else jnp.ones((B, T), bool))
         out = fa.fused_attention_bias(
             q_u.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), bias, key_mask, heads,
-            interpret=interpret)
+            legacy_shift=True, interpret=interpret)
         out = out.reshape(B, T, C)
         return proj(p['out'], out.astype(compute_dtype)).astype(x.dtype)
 

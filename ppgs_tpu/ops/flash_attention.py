@@ -281,10 +281,16 @@ def supported():
 
 
 def _fused_kernel_bias(mask_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                       *, sm_scale, heads_per_block, d_head, block_b):
+                       *, sm_scale, heads_per_block, d_head, block_b,
+                       legacy_shift):
     """block_b windows x heads_per_block heads per program (small-program
     grids are launch-overhead-bound at these sizes: 128 single-window
-    programs measured 4.2 ms where the compute+DMA floor is ~0.8 ms)."""
+    programs measured 4.2 ms where the compute+DMA floor is ~0.8 ms).
+
+    ``legacy_shift``: the bias block is the zero-column-padded UNSHIFTED
+    position term viewed as (.., T+1, T); dropping its first sublane row
+    IS the ESPnet legacy rel_shift (a free in-VMEM slice — the XLA
+    formulation's misaligned (.., T, T+1) copies measured 4.2 ms)."""
     q = q_ref[...]                                    # (bb, T, P*dh)
     k = k_ref[...]
     v = v_ref[...]
@@ -293,10 +299,12 @@ def _fused_kernel_bias(mask_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     outs = []
     for j in range(heads_per_block):
         sl = slice(j * d_head, (j + 1) * d_head)
+        bias = (bias_ref[:, j, 1:, :] if legacy_shift
+                else bias_ref[:, j])                  # (bb, T, T)
         logits = (jax.lax.dot_general(
             q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-            + bias_ref[:, j].astype(jnp.float32)) * sm_scale  # (bb, T, T)
+            + bias.astype(jnp.float32)) * sm_scale    # (bb, T, T)
         logits = jnp.where(mask, logits, NEG_INF)
         row_max = jnp.maximum(logits.max(axis=-1, keepdims=True), -1e29)
         p = jnp.exp(logits - row_max)
@@ -328,19 +336,26 @@ def _bias_block_b(B, T, per_block):
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
-def fused_attention_bias(q, k, v, bias, mask, num_heads, interpret=False):
+@functools.partial(jax.jit, static_argnames=('num_heads', 'legacy_shift',
+                                             'interpret'))
+def fused_attention_bias(q, k, v, bias, mask, num_heads,
+                         legacy_shift=False, interpret=False):
     """softmax((q k^T + bias) * sm_scale) v with VMEM-resident scores.
 
     q, k, v: (B, T, H, d_k) head-split layout (any d_k <= 64); bias:
-    (B, H, T, T) additive pre-scale score term; mask: (B, T) bool valid
-    keys. sm_scale = 1/sqrt(d_k). Returns (B, T, H, d_k). T must be a
-    multiple of 8.
+    (B, H, T, T) additive pre-scale score term — or, with
+    ``legacy_shift=True``, the (B, H, T+1, T) zero-column-padded
+    UNSHIFTED term (``concat([zeros(.., T, 1), bd], -1).reshape(B, H,
+    T+1, T)``) whose ESPnet legacy rel_shift the kernel applies as a free
+    sublane slice. mask: (B, T) bool valid keys. sm_scale = 1/sqrt(d_k).
+    Returns (B, T, H, d_k). T must be a multiple of 8.
     """
     B, T, H, dk = q.shape
     assert H == num_heads and T % 8 == 0, (H, num_heads, T)
     assert dk <= 64, dk
+    assert bias.shape[2] == T + (1 if legacy_shift else 0), bias.shape
     sm_scale = 1.0 / math.sqrt(dk)
+    tb = T + (1 if legacy_shift else 0)
 
     # Zero-pad each head to 64 lanes, pack 2 heads per 128-lane block
     dp = 64
@@ -358,7 +373,7 @@ def fused_attention_bias(q, k, v, bias, mask, num_heads, interpret=False):
     out = pl.pallas_call(
         functools.partial(_fused_kernel_bias, sm_scale=sm_scale,
                           heads_per_block=per_block, d_head=dp,
-                          block_b=bb),
+                          block_b=bb, legacy_shift=legacy_shift),
         grid=(B // bb, H // per_block),
         in_specs=[
             pl.BlockSpec((bb, 1, T), lambda b, h: (b, 0, 0),
@@ -369,7 +384,7 @@ def fused_attention_bias(q, k, v, bias, mask, num_heads, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, T, 128), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, per_block, T, T), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((bb, per_block, tb, T), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, T, 128), lambda b, h: (b, 0, h),

@@ -120,3 +120,43 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def variants():
+    cfg = conformer_mod.ConformerConfig(compute_dtype='bfloat16')
+    params = conformer_mod.init(jax.random.PRNGKey(0), cfg)
+    attn = params['blocks'][0]['attn']
+    B, T, H = 64, 800, cfg.heads
+    d_k = cfg.dim // H
+    cd = jnp.bfloat16
+    key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
+    qvs = [jax.random.normal(jax.random.fold_in(key, 40 + i),
+                             (B, H, T, d_k), cd) for i in range(4)]
+    bds = [jax.random.normal(jax.random.fold_in(key, 50 + i),
+                             (B, H, T, T), cd) for i in range(4)]
+    jax.block_until_ready(qvs + bds)
+    pos_emb = jnp.asarray(conformer_mod._rel_pos_table(T, cfg.dim))[None]
+    pos = (pos_emb.astype(cd) @ attn['pos']['weight'].astype(cd))
+    pos = pos.reshape(1, -1, H, d_k).transpose(0, 2, 1, 3)
+
+    def bd_einsum(p, q_v):
+        return jnp.einsum('bhqd,bhkd->bhqk', q_v, pos).astype(
+            jnp.float32).mean((1, 2, 3))
+
+    def bd_flat(p, q_v):
+        out = jnp.stack([
+            (q_v[:, h].reshape(B * T, d_k) @ pos[0, h].T).reshape(B, T, T)
+            for h in range(H)], axis=1)
+        return out.astype(jnp.float32).mean((1, 2, 3))
+
+    def shift_only(p, bd):
+        return conformer_mod._rel_shift(bd).astype(jnp.float32).mean(
+            (1, 2, 3))
+
+    report('bd einsum (old)', bd_einsum, None, qvs)
+    report('bd flat matmuls', bd_flat, None, qvs)
+    report('rel_shift only', shift_only, None, bds)
+
+
+if __name__ == '__main__' and os.environ.get('PPGS_VARIANTS'):
+    variants()
