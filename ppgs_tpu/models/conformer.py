@@ -197,15 +197,15 @@ def _rel_attention(x, pos_emb, p, mask, heads, compute_dtype, precision,
             and (_use_fused_rel_attention(T) or interpret)):
         from ..ops import flash_attention as fa
 
-        matrix_bd = jnp.einsum('bhqd,bhkd->bhqk', q_v, pos,
-                               precision=precision)
         # Legacy rel_shift via the kernel's free sublane slice: hand it the
-        # zero-column-padded UNSHIFTED term viewed (B, H, T+1, T) — the
-        # XLA shift's misaligned (.., T, T+1)-lane copies measured 4.2 ms
-        # at the bench workload
-        z = jnp.concatenate(
-            [jnp.zeros((B, heads, T, 1), matrix_bd.dtype), matrix_bd],
-            axis=-1)
+        # zero-column-padded UNSHIFTED term viewed (B, H, T+1, T). The
+        # zero column comes FROM THE EINSUM (a zero row prepended to pos),
+        # so no concat copy and no (.., T, T+1)-lane relayout ever
+        # materializes — the XLA rel_shift's copies alone measured 4.2 ms
+        # at the bench workload.
+        pos_z = jnp.pad(pos, ((0, 0), (0, 0), (1, 0), (0, 0)))
+        z = jnp.einsum('bhqd,bhkd->bhqk', q_v, pos_z,
+                       precision=precision)           # (B, H, T, T+1)
         bias = z.reshape(B, heads, T + 1, T)
         key_mask = (mask if mask is not None
                     else jnp.ones((B, T), bool))
