@@ -401,12 +401,15 @@ def encoder(params, hidden, attention_mask=None,
     if train:
         hidden = _dropout(hidden, rngs[0], config.hidden_dropout)
 
-    # Whole-layer Pallas path (TPU, bf16, inference only): each encoder
-    # layer runs as ONE kernel (ops/encoder_layer_kernel.py,
-    # activation='gelu') — QKV, 12x64 packed-head attention, out-proj, FFN
-    # and both LayerNorms stay in VMEM per window block. One call per
-    # layer: a layer's weights (~14 MB) stay VMEM-resident, the full
-    # 12-layer set would not.
+    # Whole-stack Pallas path (TPU, bf16, inference only): ALL 12 layers
+    # run as ONE weight-streaming kernel (ops/encoder_layer_kernel.py
+    # encoder_stack_streamed, activation='gelu') — QKV, 12x64 packed-head
+    # attention, out-proj, FFN and both LayerNorms stay in VMEM, the
+    # residual stream persists in VMEM scratch across layers, and each
+    # layer's ~14 MB of weights is double-buffered by Mosaic per (batch,
+    # layer) grid step (the full 170 MB set never needs residency).
+    # Measured vs one encoder_stack call per layer: 34.5 vs 35.3 ms at
+    # the bench workload (bb=8; PERF.md round 5).
     import os
 
     B, T, C = hidden.shape
@@ -423,10 +426,21 @@ def encoder(params, hidden, attention_mask=None,
         if t8 != T:
             hidden = jnp.pad(hidden, ((0, 0), (0, t8 - T), (0, 0)))
             key_mask = jnp.pad(key_mask, ((0, 0), (0, t8 - T)))
-        for layer in p['layers']:
-            hidden = elk.encoder_stack(
-                hidden, key_mask, [layer], config.num_heads,
-                compute_dtype=compute_dtype, activation='gelu')
+        # Window-block size: larger amortizes per-program overhead
+        # (measured monotone 2 -> 8); cap bb*T to bound the VMEM slabs
+        # at long inputs
+        bb = max(b for b in (8, 4, 2, 1)
+                 if B % b == 0 and b * t8 <= 3584)
+        if os.environ.get('PPGS_TPU_W2V2_STREAMED', '1') != '0':
+            hidden = elk.encoder_stack_streamed(
+                hidden, key_mask, p['layers'], config.num_heads,
+                compute_dtype=compute_dtype, activation='gelu',
+                block_b=bb)
+        else:
+            for layer in p['layers']:
+                hidden = elk.encoder_stack(
+                    hidden, key_mask, [layer], config.num_heads,
+                    compute_dtype=compute_dtype, activation='gelu')
         return hidden[:, :T]
 
     for i, layer in enumerate(p['layers']):
