@@ -234,7 +234,7 @@ def main():
     lines = []
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_W2V2FB', '1') != '0'
-            and elapsed < budget * 0.45):
+            and elapsed < budget * 0.4):
         try:
             from ppgs_tpu.models import w2v2
             from ppgs_tpu.preprocess import w2v2fb as w2v2fb_mod
@@ -288,60 +288,6 @@ def main():
                 'vs_baseline': 0.0,
                 'error': f'{type(error).__name__}: {error}'})
 
-    # --- bottleneck pipeline (round-5 metric; BASELINE "bottleneck config
-    # variants") --------------------------------------------------------
-    # Random-init 16-block d=144 conformer + PPG head: identical
-    # FLOPs/memory traffic to the converted 24epoch.pth checkpoint
-    # (network-gated). Budget-gated like w2v2fb.
-    elapsed = time.time() - t_start
-    if (os.environ.get('PPGS_BENCH_BOTTLENECK', '1') != '0'
-            and elapsed < budget * 0.55):
-        try:
-            import dataclasses
-
-            from ppgs_tpu.models import conformer as conformer_mod
-            from ppgs_tpu.preprocess import bottleneck as bottleneck_mod
-
-            bn_config = ppgs_tpu.config.REGISTRY['bottleneck']
-            bn_params = {
-                'conformer': conformer_mod.init(
-                    jax.random.PRNGKey(4), conformer_mod.BOTTLENECK),
-                'head': transformer.init(jax.random.PRNGKey(5), bn_config),
-            }
-            bn_cfg = dataclasses.replace(
-                conformer_mod.BOTTLENECK, compute_dtype='bfloat16')
-            bn_pad = bottleneck_mod.PAD
-
-            def bottleneck_pipeline(p, audio):
-                padded = jnp.pad(
-                    audio, ((0, 0), (0, 0), (bn_pad, bn_pad))).squeeze(1)
-                lengths = jnp.full((audio.shape[0],), padded.shape[-1],
-                                   jnp.int32)
-                feats, olens = bottleneck_mod.log_mel_power(padded, lengths)
-                feats = bottleneck_mod.utterance_mvn(feats, olens)
-                lat = conformer_mod.forward(p['conformer'], feats, olens,
-                                            bn_cfg)
-                logits = transformer.chunked_forward(
-                    p['head'], lat.transpose(0, 2, 1),
-                    olens.astype(jnp.int32), bn_config)
-                return jax.nn.softmax(logits, axis=1)
-
-            value, extras = measure(bottleneck_pipeline, bn_params)
-            lines.append({
-                'metric': 'bottleneck_ppg_inference_throughput',
-                'value': round(value, 2),
-                'unit': 'audio_seconds_per_second_per_chip',
-                'vs_baseline': 1.0,
-                **extras,
-            })
-        except Exception as error:
-            lines.append({
-                'metric': 'bottleneck_ppg_inference_throughput',
-                'value': 0,
-                'unit': 'audio_seconds_per_second_per_chip',
-                'vs_baseline': 0.0,
-                'error': f'{type(error).__name__}: {error}'})
-
     # --- training throughput (round-4 metric) ------------------------------
     # Full jitted train step (forward + masked CE + backward + Adam,
     # attention/FFN via the custom_vjp kernels; the common no-stats step —
@@ -350,7 +296,7 @@ def main():
     # carried train state forces sequential execution.
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_TRAIN', '1') != '0'
-            and elapsed < budget * 0.75):
+            and elapsed < budget * 0.55):
         try:
             from ppgs_tpu.train import core as train_core
 
@@ -432,6 +378,60 @@ def main():
         except Exception as error:
             lines.append({
                 'metric': 'mel_ppg_train_throughput', 'value': 0,
+                'unit': 'audio_seconds_per_second_per_chip',
+                'vs_baseline': 0.0,
+                'error': f'{type(error).__name__}: {error}'})
+
+    # --- bottleneck pipeline (round-5 metric; BASELINE "bottleneck config
+    # variants") --------------------------------------------------------
+    # Random-init 16-block d=144 conformer + PPG head: identical
+    # FLOPs/memory traffic to the converted 24epoch.pth checkpoint
+    # (network-gated). Budget-gated like w2v2fb.
+    elapsed = time.time() - t_start
+    if (os.environ.get('PPGS_BENCH_BOTTLENECK', '1') != '0'
+            and elapsed < budget * 0.75):
+        try:
+            import dataclasses
+
+            from ppgs_tpu.models import conformer as conformer_mod
+            from ppgs_tpu.preprocess import bottleneck as bottleneck_mod
+
+            bn_config = ppgs_tpu.config.REGISTRY['bottleneck']
+            bn_params = {
+                'conformer': conformer_mod.init(
+                    jax.random.PRNGKey(4), conformer_mod.BOTTLENECK),
+                'head': transformer.init(jax.random.PRNGKey(5), bn_config),
+            }
+            bn_cfg = dataclasses.replace(
+                conformer_mod.BOTTLENECK, compute_dtype='bfloat16')
+            bn_pad = bottleneck_mod.PAD
+
+            def bottleneck_pipeline(p, audio):
+                padded = jnp.pad(
+                    audio, ((0, 0), (0, 0), (bn_pad, bn_pad))).squeeze(1)
+                lengths = jnp.full((audio.shape[0],), padded.shape[-1],
+                                   jnp.int32)
+                feats, olens = bottleneck_mod.log_mel_power(padded, lengths)
+                feats = bottleneck_mod.utterance_mvn(feats, olens)
+                lat = conformer_mod.forward(p['conformer'], feats, olens,
+                                            bn_cfg)
+                logits = transformer.chunked_forward(
+                    p['head'], lat.transpose(0, 2, 1),
+                    olens.astype(jnp.int32), bn_config)
+                return jax.nn.softmax(logits, axis=1)
+
+            value, extras = measure(bottleneck_pipeline, bn_params)
+            lines.append({
+                'metric': 'bottleneck_ppg_inference_throughput',
+                'value': round(value, 2),
+                'unit': 'audio_seconds_per_second_per_chip',
+                'vs_baseline': 1.0,
+                **extras,
+            })
+        except Exception as error:
+            lines.append({
+                'metric': 'bottleneck_ppg_inference_throughput',
+                'value': 0,
                 'unit': 'audio_seconds_per_second_per_chip',
                 'vs_baseline': 0.0,
                 'error': f'{type(error).__name__}: {error}'})
