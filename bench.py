@@ -226,12 +226,30 @@ def main():
             del os.environ['PPGS_TPU_DISABLE_FLASH']
         vs_baseline = mel_value / xla_only
 
+    # Every metric line prints (and flushes) the moment it is measured —
+    # a driver-side timeout then still records the completed metrics. The
+    # headline line is printed FIRST (it is measured first) and RE-printed
+    # last so last-line parsers see it.
+    def _emit(record):
+        lines.append(record)
+        print(json.dumps(record))
+        sys.stdout.flush()
+
+    mel_headline = {
+        'metric': 'mel_ppg_inference_throughput',
+        'value': round(mel_value, 2),
+        'unit': 'audio_seconds_per_second_per_chip',
+        'vs_baseline': round(vs_baseline, 3),
+        **mel_extras,
+    }
+    lines = []
+    _emit(mel_headline)
+
     # --- w2v2fb pipeline (second BASELINE.md metric) -----------------------
     # Random-init wav2vec2-base weights: identical FLOPs/memory traffic to
     # the converted HF checkpoint (which is network-gated in CI). Attempted
     # only when enough wall-clock budget remains: its cold compile over the
     # tunnel takes minutes, and the headline mel line must always print.
-    lines = []
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_W2V2FB', '1') != '0'
             and elapsed < budget * 0.4):
@@ -273,7 +291,7 @@ def main():
                 return jax.nn.softmax(logits, axis=1)
 
             value, extras = measure(w2v2fb_pipeline, w2v2fb_params)
-            lines.append({
+            _emit({
                 'metric': 'w2v2fb_ppg_inference_throughput',
                 'value': round(value, 2),
                 'unit': 'audio_seconds_per_second_per_chip',
@@ -281,7 +299,7 @@ def main():
                 **extras,
             })
         except Exception as error:
-            lines.append({
+            _emit({
                 'metric': 'w2v2fb_ppg_inference_throughput',
                 'value': 0,
                 'unit': 'audio_seconds_per_second_per_chip',
@@ -367,16 +385,16 @@ def main():
                 }
                 if step_flops is not None and peak is not None:
                     record['mfu'] = round(step_flops / dt / peak, 4)
-                lines.append(record)
+                _emit(record)
             else:
-                lines.append({
+                _emit({
                     'metric': 'mel_ppg_train_throughput', 'value': 0,
                     'unit': 'audio_seconds_per_second_per_chip',
                     'vs_baseline': 0.0,
                     'error': f'step-time slope {dt * 1e3:.3f} ms below '
                              f'physical floor {t_floor * 1e3:.3f} ms'})
         except Exception as error:
-            lines.append({
+            _emit({
                 'metric': 'mel_ppg_train_throughput', 'value': 0,
                 'unit': 'audio_seconds_per_second_per_chip',
                 'vs_baseline': 0.0,
@@ -421,7 +439,7 @@ def main():
                 return jax.nn.softmax(logits, axis=1)
 
             value, extras = measure(bottleneck_pipeline, bn_params)
-            lines.append({
+            _emit({
                 'metric': 'bottleneck_ppg_inference_throughput',
                 'value': round(value, 2),
                 'unit': 'audio_seconds_per_second_per_chip',
@@ -429,7 +447,7 @@ def main():
                 **extras,
             })
         except Exception as error:
-            lines.append({
+            _emit({
                 'metric': 'bottleneck_ppg_inference_throughput',
                 'value': 0,
                 'unit': 'audio_seconds_per_second_per_chip',
@@ -458,7 +476,7 @@ def main():
 
             value, extras = measure(causal_pipeline, mel_params)
             extras['vs_noncausal'] = round(value / mel_value, 3)
-            lines.append({
+            _emit({
                 'metric': 'causal_mel_ppg_inference_throughput',
                 'value': round(value, 2),
                 'unit': 'audio_seconds_per_second_per_chip',
@@ -466,22 +484,16 @@ def main():
                 **extras,
             })
         except Exception as error:
-            lines.append({
+            _emit({
                 'metric': 'causal_mel_ppg_inference_throughput',
                 'value': 0,
                 'unit': 'audio_seconds_per_second_per_chip',
                 'vs_baseline': 0.0,
                 'error': f'{type(error).__name__}: {error}'})
 
-    lines.append({
-        'metric': 'mel_ppg_inference_throughput',
-        'value': round(mel_value, 2),
-        'unit': 'audio_seconds_per_second_per_chip',
-        'vs_baseline': round(vs_baseline, 3),
-        **mel_extras,
-    })
-    for record in lines:
-        print(json.dumps(record))
+    # Headline re-printed LAST for last-line parsers (already emitted
+    # first; duplicate JSONL lines are harmless)
+    print(json.dumps(mel_headline))
     sys.stdout.flush()
 
 
