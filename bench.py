@@ -28,10 +28,11 @@ what ppgs_tpu.from_audio actually runs; parity is enforced by tests/.
 
 Env knobs:
   PPGS_BENCH_W2V2FB=0       skip the w2v2fb metric line (mel only)
-  PPGS_BENCH_BUDGET_S=480   wall-clock budget; w2v2fb is attempted only if
-                            enough budget remains after mel (its cold
-                            compile over the device tunnel takes minutes —
-                            warm .jax_cache runs take seconds)
+  PPGS_BENCH_BUDGET_S=1200  wall-clock budget; later metrics are attempted
+                            only while enough budget remains (cold compiles
+                            over the device tunnel take minutes). Metric
+                            lines STREAM as they complete, so an external
+                            timeout truncates rather than losing results.
   PPGS_BENCH_FULL=1         also measure the XLA-only reference-numerics
                             path; report mel speedup over it in vs_baseline
 """
@@ -66,7 +67,7 @@ def _peak_flops():
 
 def main():
     t_start = time.time()
-    budget = float(os.environ.get('PPGS_BENCH_BUDGET_S', 480))
+    budget = float(os.environ.get('PPGS_BENCH_BUDGET_S', 1200))
 
     import jax
 
@@ -252,7 +253,7 @@ def main():
     # tunnel takes minutes, and the headline mel line must always print.
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_W2V2FB', '1') != '0'
-            and elapsed < budget * 0.4):
+            and elapsed < budget * 0.5):
         try:
             from ppgs_tpu.models import w2v2
             from ppgs_tpu.preprocess import w2v2fb as w2v2fb_mod
@@ -314,7 +315,7 @@ def main():
     # carried train state forces sequential execution.
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_TRAIN', '1') != '0'
-            and elapsed < budget * 0.55):
+            and elapsed < budget * 0.65):
         try:
             from ppgs_tpu.train import core as train_core
 
@@ -407,7 +408,7 @@ def main():
     # (network-gated). Budget-gated like w2v2fb.
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_BOTTLENECK', '1') != '0'
-            and elapsed < budget * 0.75):
+            and elapsed < budget * 0.8):
         try:
             import dataclasses
 
@@ -459,7 +460,7 @@ def main():
     # whole-stack kernel; target within ~10% of the non-causal headline.
     elapsed = time.time() - t_start
     if (os.environ.get('PPGS_BENCH_CAUSAL', '1') != '0'
-            and mel_value and elapsed < budget * 0.85):
+            and mel_value and elapsed < budget * 0.9):
         try:
             causal_config = ppgs_tpu.config.REGISTRY['causal_transformer']
 
