@@ -181,10 +181,15 @@ def test_encoder_layers_via_stack_kernel(monkeypatch):
         params, jnp.asarray(hidden), jnp.asarray(mask), config))
 
     orig = elk.encoder_stack
+    orig_streamed = elk.encoder_stack_streamed
     monkeypatch.setattr(
         elk, 'encoder_stack',
         functools.partial(
             lambda *a, **k: orig(*a, **{**k, 'interpret': True})))
+    monkeypatch.setattr(
+        elk, 'encoder_stack_streamed',
+        functools.partial(
+            lambda *a, **k: orig_streamed(*a, **{**k, 'interpret': True})))
     monkeypatch.setattr(w2v2_mod, '_use_flash', lambda d, h, t: True)
     got = np.asarray(w2v2_mod.encoder(
         params, jnp.asarray(hidden), jnp.asarray(mask), config))
@@ -192,4 +197,11 @@ def test_encoder_layers_via_stack_kernel(monkeypatch):
     assert got.shape == ref.shape
     valid = np.asarray(mask)
     np.testing.assert_allclose(got[valid], ref[valid],
+                               rtol=5e-2, atol=5e-2)
+
+    # The per-layer (non-streamed) variant stays reachable via its env gate
+    monkeypatch.setenv('PPGS_TPU_W2V2_STREAMED', '0')
+    got2 = np.asarray(w2v2_mod.encoder(
+        params, jnp.asarray(hidden), jnp.asarray(mask), config))
+    np.testing.assert_allclose(got2[valid], ref[valid],
                                rtol=5e-2, atol=5e-2)
